@@ -1,0 +1,70 @@
+"""Pipeline configuration.
+
+One frozen config object for the whole pipeline, mirroring the reference's
+single-`Config` design (reference: src/main/scala/deduplication/Config.scala:20-24
+holds maxProcessingTime / ttl / pollStrategy; ours holds the signature and
+verification geometry plus the ledger timing knobs).
+
+Every stage is a pure function of (input snapshot, config) — all randomness
+is derived from `seed` so re-runs are byte-deterministic (required for the
+resume protocol, SURVEY.md section 2.3 invariant 1/4).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+from dataclasses import asdict, dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- shingling / MinHash / LSH ---
+    shingle_k: int = 9              # char-shingle width (FIXTURES.md: k=9)
+    num_perm: int = 128             # MinHash signature length
+    bands: int = 32                 # LSH bands
+    rows_per_band: int = 4          # bands * rows_per_band == num_perm
+    # --- SimHash ---
+    simhash_bits: int = 64
+    hamming_radius: int = 3         # Hamming-ball radius for near-dup candidates
+    # --- verification ---
+    lcs_min_chars: int = 60         # absolute LCS floor
+    lcs_min_ratio: float = 0.25     # LCS >= ratio * min(len_a, len_b)
+    jaccard_floor: float = 0.50     # estimated-Jaccard fast-accept threshold
+    # --- skew handling ---
+    bucket_cap: int = 64            # LSH bucket size above which we star-link
+    max_bucket_pairs: int = 2048    # hard cap on per-bucket pair emission
+    # --- ledger (graft of reference Config.scala:20-24) ---
+    max_processing_time_s: float = 3600.0   # claim staleness -> Timeout
+    ttl_s: float | None = None              # completed-row expiry; None = never
+    # --- execution ---
+    seed: int = 42
+    arrow_max_records_per_batch: int = 512  # fat `content` rows; keep batches small
+    shuffle_partitions: int = 32
+    # --- text normalization before shingling ---
+    normalize: bool = True          # lowercase + collapse whitespace
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}x{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.simhash_bits != 64:
+            raise ValueError("only 64-bit SimHash is supported")
+        blocks = self.hamming_radius + 1
+        if 64 % blocks != 0:
+            raise ValueError(
+                f"hamming_radius+1 ({blocks}) must divide 64 for block keying"
+            )
+
+    def config_hash(self) -> str:
+        """Stable fingerprint of the config — part of lineage rows, and the
+        guard that a resumed run uses the same geometry as the original
+        (same role as the reference's requirement that `id` semantics never
+        change under one contextId, README.md:14-20)."""
+        payload = json.dumps(asdict(self), sort_keys=True, default=str)
+        return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+DEFAULT_CONFIG = DedupConfig()

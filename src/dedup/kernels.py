@@ -1,0 +1,325 @@
+"""Pure numpy kernels for the signature and verification math.
+
+Everything here is Series/array-at-a-time numpy — no Spark imports — so the
+kernels are (a) directly property-testable under plain pytest/hypothesis and
+(b) callable from vectorized pandas UDFs without per-row Python work in the
+hot loops (BASELINE.json input_hint mandate).
+
+Determinism: every kernel's randomness comes from an explicit seed
+(SURVEY.md section 2.3 invariant 1: same content => same signature, seeds fixed
+by config — the generalization of the reference's stable-`id` requirement,
+reference README.md:14-16).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MERSENNE_61 = np.uint64((1 << 61) - 1)
+MAX_HASH_32 = np.uint64((1 << 32) - 1)
+_FNV_PRIME = np.uint64(1099511628211)
+_SPLITMIX_1 = np.uint64(0xBF58476D1CE4E5B9)
+_SPLITMIX_2 = np.uint64(0x94D049BB133111EB)
+
+# numpy warns on intentional uint64 wraparound; it is the point here.
+_wrap = np.errstate(over="ignore")
+
+
+def mix64(h: np.ndarray) -> np.ndarray:
+    """splitmix64 finalizer — avalanche a uint64 array (public constant set)."""
+    with _wrap:
+        h = np.asarray(h, dtype=np.uint64).copy()
+        h ^= h >> np.uint64(30)
+        h *= _SPLITMIX_1
+        h ^= h >> np.uint64(27)
+        h *= _SPLITMIX_2
+        h ^= h >> np.uint64(31)
+    return h
+
+
+def _poly_powers(k: int) -> np.ndarray:
+    """[1, R, R^2, ..., R^(k-1)] in uint64 with natural wraparound."""
+    with _wrap:
+        p = np.ones(k, dtype=np.uint64)
+        if k > 1:
+            p[1:] = np.cumprod(np.full(k - 1, _FNV_PRIME, dtype=np.uint64))
+    return p
+
+
+def normalize_text(text: str) -> str:
+    """Cheap normalization before shingling: lowercase, collapse whitespace.
+
+    Keeps type-2 clones (identifier rename + whitespace edits) close in
+    shingle space without destroying structure.
+    """
+    return " ".join(text.lower().split())
+
+
+def char_shingle_hashes(text: str, k: int) -> np.ndarray:
+    """Distinct 64-bit hashes of all k-char shingles of `text` (uint64).
+
+    Rolling polynomial hash over the UTF-8 bytes via a sliding window
+    (vectorized), then a splitmix64 finalizer to spread low-entropy
+    polynomial values across the full 64-bit space.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.size
+    if n == 0:
+        return np.empty(0, dtype=np.uint64)
+    if n < k:
+        # whole-text fallback: one shingle
+        with _wrap:
+            powers = _poly_powers(n)
+            h = np.array([(data * powers[::-1]).sum()], dtype=np.uint64)
+        return mix64(h)
+    with _wrap:
+        powers = _poly_powers(k)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    return np.unique(mix64(h))
+
+
+def make_minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
+    """Multiply-shift universal-hash coefficients (A odd, B arbitrary)."""
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    a = (a << np.uint64(1)) | np.uint64(1)  # force odd
+    b = rng.integers(0, 1 << 63, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def minhash_from_hashes(
+    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature (uint64 values < 2^32) of one shingle-hash set.
+
+    sig[i] = min over shingles s of top-32-bits(a[i]*s + b[i]) — the
+    multiply-shift family (Dietzfelbinger et al.), all uint64 wraparound.
+    Matrix shape (num_perm, n_shingles): vectorized over both axes.
+    """
+    if shingle_hashes.size == 0:
+        return np.full(a.size, MAX_HASH_32, dtype=np.uint64)
+    with _wrap:
+        prod = a[:, None] * shingle_hashes[None, :] + b[:, None]
+    return (prod >> np.uint64(32)).min(axis=1)
+
+
+def minhash_batch(
+    texts: "list[str] | np.ndarray",
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    normalize: bool = True,
+) -> np.ndarray:
+    """Signatures for a batch of texts -> (n_docs, num_perm) uint64.
+
+    The loop is over documents (each iteration fully vectorized over
+    shingles x permutations); there is no per-row Python inside Spark —
+    this whole function runs once per Arrow batch.
+    """
+    out = np.empty((len(texts), a.size), dtype=np.uint64)
+    for i, t in enumerate(texts):
+        if normalize:
+            t = normalize_text(t)
+        out[i] = minhash_from_hashes(char_shingle_hashes(t, k), a, b)
+    return out
+
+
+def band_hashes(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
+    """LSH band keys: (n_docs, bands) int64.
+
+    Each band's `rows_per_band` signature values are combined with a
+    polynomial in the FNV prime then finalized; viewed as int64 for Spark
+    (bit-preserving — Spark has no unsigned types).
+    """
+    n_docs = signatures.shape[0]
+    sig = signatures.reshape(n_docs, bands, rows_per_band)
+    with _wrap:
+        acc = np.zeros((n_docs, bands), dtype=np.uint64)
+        for r in range(rows_per_band):
+            acc = acc * _FNV_PRIME + sig[:, :, r]
+    return mix64(acc).view(np.int64)
+
+
+def est_jaccard(sig_a: np.ndarray, sig_b: np.ndarray) -> float:
+    """MinHash Jaccard estimate: fraction of agreeing signature slots."""
+    return float(np.mean(sig_a == sig_b))
+
+
+def jaccard_shingles(text_a: str, text_b: str, k: int, normalize: bool = True) -> float:
+    """Exact k-shingle Jaccard — the brute-force oracle for recall tests."""
+    if normalize:
+        text_a, text_b = normalize_text(text_a), normalize_text(text_b)
+    sa = char_shingle_hashes(text_a, k)
+    sb = char_shingle_hashes(text_b, k)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    return inter / float(sa.size + sb.size - inter)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash64(shingle_hashes: np.ndarray) -> np.int64:
+    """64-bit SimHash of one shingle-hash set (majority vote per bit)."""
+    if shingle_hashes.size == 0:
+        return np.int64(0)
+    bits = (shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+    counts = bits.sum(axis=0)
+    vec = (counts * 2 >= shingle_hashes.size).astype(np.uint64)
+    with _wrap:
+        packed = (vec << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
+    return np.array([packed], dtype=np.uint64).view(np.int64)[0]
+
+
+def simhash_batch(
+    texts: "list[str] | np.ndarray", k: int, normalize: bool = True
+) -> np.ndarray:
+    """SimHash for a batch of texts -> (n_docs,) int64."""
+    out = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if normalize:
+            t = normalize_text(t)
+        out[i] = simhash64(char_shingle_hashes(t, k))
+    return out
+
+
+def hamming_blocks(simhash: np.ndarray, n_blocks: int) -> np.ndarray:
+    """Split 64-bit simhashes into n_blocks equal bit-blocks -> (n, n_blocks) int64.
+
+    Pigeonhole: two hashes within Hamming distance r = n_blocks-1 agree
+    exactly on at least one block, so equi-joining on (block_id, block_value)
+    is a complete candidate generator for the Hamming ball.
+    """
+    width = 64 // n_blocks
+    mask = np.uint64((1 << width) - 1)
+    u = np.asarray(simhash, dtype=np.int64).view(np.uint64)
+    cols = [((u >> np.uint64(width * i)) & mask).view(np.int64) for i in range(n_blocks)]
+    return np.stack(cols, axis=1)
+
+
+def hamming_distance(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Popcount of xor over int64 arrays (vectorized)."""
+    x = (np.asarray(a, dtype=np.int64).view(np.uint64)
+         ^ np.asarray(b, dtype=np.int64).view(np.uint64))
+    # vectorized popcount via byte-table lookup
+    table = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    out = np.zeros(x.shape, dtype=np.int64)
+    for shift in range(0, 64, 8):
+        out += table[((x >> np.uint64(shift)) & np.uint64(0xFF)).astype(np.intp)]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array longest common substring (verification kernel)
+# ---------------------------------------------------------------------------
+
+def _suffix_array_doubling(s: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array by prefix doubling (O(n log^2 n) with np.lexsort).
+
+    Returns (sa, levels) where levels is [(span, rank_at_span), ...] with
+    rank_at_span[i] identifying s[i:i+span] (truncated at the end); used for
+    O(log n) pairwise LCP by binary lifting.
+    """
+    n = s.size
+    _, rank = np.unique(s, return_inverse=True)
+    rank = rank.astype(np.int64)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
+    span = 1
+    idx = np.arange(n, dtype=np.int64)
+    while span < n and rank.max() < n - 1:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - span] = rank[span:]
+        order = np.lexsort((key2, rank))
+        r_ord = rank[order]
+        k_ord = key2[order]
+        new_rank_ord = np.zeros(n, dtype=np.int64)
+        if n > 1:
+            diff = (r_ord[1:] != r_ord[:-1]) | (k_ord[1:] != k_ord[:-1])
+            new_rank_ord[1:] = np.cumsum(diff)
+        rank = np.empty(n, dtype=np.int64)
+        rank[order] = new_rank_ord
+        span *= 2
+        levels.append((span, rank))
+        _ = idx  # keep shape referenced
+    sa = np.argsort(rank, kind="stable").astype(np.int64)
+    return sa, levels
+
+
+def _pairwise_lcp(
+    levels: list[tuple[int, np.ndarray]], i_idx: np.ndarray, j_idx: np.ndarray, n: int
+) -> np.ndarray:
+    """LCP(s[i:], s[j:]) for aligned index arrays, via binary lifting over the
+    doubling rank tables. Fully vectorized across pairs."""
+    lcp = np.zeros(i_idx.size, dtype=np.int64)
+    i = i_idx.astype(np.int64).copy()
+    j = j_idx.astype(np.int64).copy()
+    for span, rank in reversed(levels):
+        live = (i < n) & (j < n)
+        ii = np.where(live, i, 0)
+        jj = np.where(live, j, 0)
+        eq = live & (rank[ii] == rank[jj])
+        adv = eq & (i + span <= n) & (j + span <= n)
+        # If equal at this span but one suffix ends inside the span, the
+        # truncated strings are identical; the LCP is bounded by the shorter
+        # remaining length and no further level can extend it.
+        end_eq = eq & ~adv
+        lcp = np.where(end_eq, lcp + np.minimum(n - i, n - j), lcp)
+        i = np.where(end_eq, np.int64(n), i)
+        j = np.where(end_eq, np.int64(n), j)
+        lcp = np.where(adv, lcp + span, lcp)
+        i = np.where(adv, i + span, i)
+        j = np.where(adv, j + span, j)
+    return lcp
+
+
+def longest_common_substring(a: str, b: str) -> int:
+    """Length of the longest common substring of `a` and `b`.
+
+    Suffix array (doubling) over the concatenation with a unique separator,
+    then max LCP over adjacent suffix-array entries that come from different
+    source strings — the classic reduction. All heavy steps vectorized.
+    """
+    ba = np.frombuffer(a.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8).astype(np.int32)
+    if ba.size == 0 or bb.size == 0:
+        return 0
+    sep = np.array([256], dtype=np.int32)  # outside byte range: never matches
+    s = np.concatenate([ba, sep, bb])
+    n = s.size
+    sa, levels = _suffix_array_doubling(s)
+    from_a = sa < ba.size  # suffixes starting in `a` (separator belongs to neither)
+    is_sep = sa == ba.size
+    keep = ~is_sep
+    sa_k = sa[keep]
+    from_a_k = from_a[keep]
+    if sa_k.size < 2:
+        return 0
+    cross = from_a_k[1:] != from_a_k[:-1]
+    if not cross.any():
+        return 0
+    i_idx = sa_k[:-1][cross]
+    j_idx = sa_k[1:][cross]
+    lcp = _pairwise_lcp(levels, i_idx, j_idx, n)
+    # A common prefix can never span the separator (it occurs once), so no cap
+    # beyond each suffix's own extent is needed.
+    return int(lcp.max(initial=0))
+
+
+def lcs_naive(a: str, b: str) -> int:
+    """O(n*m) dynamic-programming longest-common-substring oracle (tests only)."""
+    if not a or not b:
+        return 0
+    ba = np.frombuffer(a.encode("utf-8"), dtype=np.uint8)
+    bb = np.frombuffer(b.encode("utf-8"), dtype=np.uint8)
+    prev = np.zeros(bb.size + 1, dtype=np.int32)
+    best = 0
+    for i in range(ba.size):
+        cur = np.zeros(bb.size + 1, dtype=np.int32)
+        match = ba[i] == bb
+        cur[1:][match] = prev[:-1][match] + 1
+        best = max(best, int(cur.max(initial=0)))
+        prev = cur
+    return best

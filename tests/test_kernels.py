@@ -1,0 +1,218 @@
+"""Property tests for the pure numpy kernels.
+
+Mirrors the reference's property-based unit layer (ProcessStatusSuite — the
+pure core gets exhaustive seeded-random coverage before anything touches the
+store; reference: src/test/scala/deduplication/ProcessStatusSuite.scala:11-160).
+"""
+
+from __future__ import annotations
+
+import random
+import string
+
+import numpy as np
+import pytest
+from hypothesis import given, settings, strategies as st
+
+from dedup import kernels as K
+
+
+# ---------------------------------------------------------------------------
+# shingles
+# ---------------------------------------------------------------------------
+
+def test_shingle_hashes_deterministic():
+    t = "def foo(x):\n    return x + 1\n"
+    h1 = K.char_shingle_hashes(t, 9)
+    h2 = K.char_shingle_hashes(t, 9)
+    assert np.array_equal(h1, h2)
+
+
+def test_shingle_count():
+    t = "abcdefghij"  # 10 chars, k=9 -> 2 shingles
+    assert K.char_shingle_hashes(t, 9).size == 2
+
+
+def test_shingle_short_text_single():
+    assert K.char_shingle_hashes("ab", 9).size == 1
+    assert K.char_shingle_hashes("", 9).size == 0
+
+
+@given(st.text(min_size=9, max_size=200), st.text(min_size=9, max_size=200))
+@settings(max_examples=50, deadline=None)
+def test_identical_texts_same_shingles_distinct_mostly_differ(a, b):
+    ha = K.char_shingle_hashes(a, 9)
+    hb = K.char_shingle_hashes(b, 9)
+    if a == b:
+        assert np.array_equal(ha, hb)
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+def _rand_text(rng: random.Random, n: int) -> str:
+    return "".join(rng.choice(string.ascii_lowercase + " \n") for _ in range(n))
+
+
+def test_minhash_identical_docs_identical_sigs():
+    a, b = K.make_minhash_coeffs(128, 42)
+    t = _rand_text(random.Random(0), 500)
+    s1 = K.minhash_batch([t], 9, a, b)
+    s2 = K.minhash_batch([t], 9, a, b)
+    assert np.array_equal(s1, s2)
+
+
+def test_minhash_estimates_jaccard():
+    """E[sig agreement] == true Jaccard; check within statistical tolerance
+    on constructed overlapping docs (the MinHash correctness property)."""
+    rng = random.Random(7)
+    base = _rand_text(rng, 2000)
+    # 50% prefix overlap
+    other = base[:1000] + _rand_text(rng, 1000)
+    a, b = K.make_minhash_coeffs(256, 42)
+    sigs = K.minhash_batch([base, other], 9, a, b, normalize=False)
+    est = K.est_jaccard(sigs[0], sigs[1])
+    true_j = K.jaccard_shingles(base, other, 9, normalize=False)
+    assert abs(est - true_j) < 0.12  # 256 perms -> sd ~ sqrt(J(1-J)/256) ~ 0.03
+    assert 0.2 < true_j < 0.8  # fixture sanity
+
+
+def test_minhash_seed_sensitivity():
+    a1, b1 = K.make_minhash_coeffs(64, 1)
+    a2, b2 = K.make_minhash_coeffs(64, 2)
+    assert not np.array_equal(a1, a2)
+
+
+def test_minhash_empty_text():
+    a, b = K.make_minhash_coeffs(16, 42)
+    s = K.minhash_batch([""], 9, a, b)
+    assert np.all(s == K.MAX_HASH_32)
+
+
+# ---------------------------------------------------------------------------
+# LSH bands
+# ---------------------------------------------------------------------------
+
+def test_band_hashes_shape_and_determinism():
+    a, b = K.make_minhash_coeffs(128, 42)
+    texts = [_rand_text(random.Random(i), 300) for i in range(10)]
+    sigs = K.minhash_batch(texts, 9, a, b)
+    bh1 = K.band_hashes(sigs, 32, 4)
+    bh2 = K.band_hashes(sigs, 32, 4)
+    assert bh1.shape == (10, 32)
+    assert np.array_equal(bh1, bh2)
+    assert bh1.dtype == np.int64
+
+
+def test_band_hashes_equal_docs_collide_everywhere():
+    a, b = K.make_minhash_coeffs(128, 42)
+    t = _rand_text(random.Random(3), 400)
+    sigs = K.minhash_batch([t, t], 9, a, b)
+    bh = K.band_hashes(sigs, 32, 4)
+    assert np.array_equal(bh[0], bh[1])
+
+
+def test_band_collision_monotone_in_jaccard():
+    """Higher-Jaccard pairs share >= bands than low-Jaccard pairs (statistically)."""
+    rng = random.Random(11)
+    base = _rand_text(rng, 3000)
+    near = base[:2700] + _rand_text(rng, 300)   # high overlap
+    far = _rand_text(rng, 3000)                  # unrelated
+    a, b = K.make_minhash_coeffs(128, 42)
+    sigs = K.minhash_batch([base, near, far], 9, a, b, normalize=False)
+    bh = K.band_hashes(sigs, 32, 4)
+    shared_near = int((bh[0] == bh[1]).sum())
+    shared_far = int((bh[0] == bh[2]).sum())
+    assert shared_near > shared_far
+    assert shared_near >= 1  # J~0.8 at b=32,r=4 -> P(>=1 band) ~ 1-1e-7
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def test_simhash_deterministic_and_int64():
+    t = _rand_text(random.Random(5), 600)
+    s = K.simhash_batch([t, t], 9)
+    assert s[0] == s[1]
+    assert s.dtype == np.int64
+
+
+def test_simhash_near_docs_low_hamming():
+    rng = random.Random(13)
+    base = _rand_text(rng, 4000)
+    # small edit: change 1% of chars
+    chars = list(base)
+    for i in rng.sample(range(len(chars)), 40):
+        chars[i] = rng.choice(string.ascii_lowercase)
+    near = "".join(chars)
+    far = _rand_text(rng, 4000)
+    s = K.simhash_batch([base, near, far], 9, normalize=False)
+    d_near = K.hamming_distance(s[:1], s[1:2])[0]
+    d_far = K.hamming_distance(s[:1], s[2:3])[0]
+    assert d_near < d_far
+    assert d_far > 10  # unrelated docs ~32 +/- a few
+
+
+def test_hamming_blocks_pigeonhole():
+    """Any two hashes within Hamming distance r agree on >= 1 of r+1 blocks."""
+    rng = np.random.default_rng(42)
+    base = rng.integers(-(2**62), 2**62, size=200, dtype=np.int64)
+    r = 3
+    flipped = base.copy()
+    for i in range(base.size):
+        u = np.uint64(flipped[i].view(np.uint64) if hasattr(flipped[i], "view") else np.array([flipped[i]], dtype=np.int64).view(np.uint64)[0])
+        positions = rng.choice(64, size=rng.integers(0, r + 1), replace=False)
+        for p in positions:
+            u ^= np.uint64(1) << np.uint64(p)
+        flipped[i] = np.array([u], dtype=np.uint64).view(np.int64)[0]
+    blocks_a = K.hamming_blocks(base, r + 1)
+    blocks_b = K.hamming_blocks(flipped, r + 1)
+    agree = (blocks_a == blocks_b).any(axis=1)
+    assert agree.all()
+
+
+def test_hamming_distance_known():
+    a = np.array([0b1011], dtype=np.int64)
+    b = np.array([0b0010], dtype=np.int64)
+    assert K.hamming_distance(a, b)[0] == 2
+    assert K.hamming_distance(np.array([-1], dtype=np.int64), np.array([0], dtype=np.int64))[0] == 64
+
+
+# ---------------------------------------------------------------------------
+# suffix-array LCS vs naive DP oracle (FIXTURES.md section 4)
+# ---------------------------------------------------------------------------
+
+def test_lcs_known_cases():
+    assert K.longest_common_substring("abcdef", "zabcy") == 3  # "abc"
+    assert K.longest_common_substring("aaaa", "aaaa") == 4
+    assert K.longest_common_substring("abc", "xyz") == 0
+    assert K.longest_common_substring("", "abc") == 0
+    assert K.longest_common_substring("abc", "") == 0
+
+
+@given(
+    st.text(alphabet="abcx ", min_size=0, max_size=120),
+    st.text(alphabet="abcx ", min_size=0, max_size=120),
+)
+@settings(max_examples=120, deadline=None)
+def test_lcs_matches_naive_small_alphabet(a, b):
+    assert K.longest_common_substring(a, b) == K.lcs_naive(a, b)
+
+
+@given(st.text(min_size=0, max_size=80), st.text(min_size=0, max_size=80))
+@settings(max_examples=60, deadline=None)
+def test_lcs_matches_naive_unicode(a, b):
+    assert K.longest_common_substring(a, b) == K.lcs_naive(a, b)
+
+
+def test_lcs_large_realistic():
+    rng = random.Random(21)
+    a = _rand_text(rng, 5000)
+    shared = _rand_text(rng, 800)
+    x = a[:2000] + shared + a[2000:]
+    y = _rand_text(rng, 1500) + shared + _rand_text(rng, 1500)
+    got = K.longest_common_substring(x, y)
+    assert got >= 800  # must find the planted block (may extend by chance)
+    assert got < 900
