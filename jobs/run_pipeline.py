@@ -1,0 +1,94 @@
+"""spark-submit entry point for the dedup pipeline.
+
+Usage (sandbox / local):
+    spark-submit --py-files dist/dedup.zip jobs/run_pipeline.py \
+        --synthetic 2000 --work-dir /tmp/dedup_run
+
+    spark-submit --py-files dist/dedup.zip jobs/run_pipeline.py \
+        --input /path/to/code_files_parquet --work-dir /tmp/dedup_run
+
+On a real cluster the same invocation runs with --master yarn/k8s and the
+input is an Iceberg table path; the pipeline is resumable — re-running with
+the same --work-dir skips committed stages (see src/dedup/pipeline.py).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser(description="near-dup detection + clustering")
+    src = ap.add_mutually_exclusive_group(required=True)
+    src.add_argument("--input", help="parquet dir/file with columns "
+                                     "(repo, path, commit, lang, content)")
+    src.add_argument("--synthetic", type=int, metavar="N",
+                     help="generate an N-row planted-clone corpus instead")
+    ap.add_argument("--work-dir", required=True,
+                    help="checkpoint/output root (ledger + snapshot tables)")
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--master", default=None,
+                    help="override master (default: env SPARK_GRAFT_MASTER or local[32])")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    ap.add_argument("--no-resume", action="store_true",
+                    help="recompute every stage even if committed")
+    args = ap.parse_args()
+
+    # --py-files puts the zip on sys.path for the driver too, but allow
+    # running straight from the repo checkout as well.
+    repo_src = Path(__file__).resolve().parent.parent / "src"
+    if repo_src.is_dir() and str(repo_src) not in sys.path:
+        sys.path.insert(0, str(repo_src))
+
+    from dedup.config import DedupConfig
+    from dedup.pipeline import Pipeline
+    from dedup.session import build_session
+
+    cfg_kwargs = {"seed": args.seed}
+    if args.shuffle_partitions:
+        cfg_kwargs["shuffle_partitions"] = args.shuffle_partitions
+    config = DedupConfig(**cfg_kwargs)
+
+    spark = build_session("dedup-pipeline", master=args.master, config=config)
+    t0 = time.time()
+    if args.synthetic:
+        from dedup.corpus import generate_corpus
+
+        corpus = generate_corpus(args.synthetic, seed=args.seed)
+        files = spark.createDataFrame(corpus.files)
+        n_files = len(corpus.files)
+    else:
+        files = spark.read.parquet(args.input)
+        n_files = files.count()
+
+    pipe = Pipeline(spark, config, args.work_dir)
+    clusters = pipe.run(files, resume=not args.no_resume)
+
+    n_docs = clusters.count()
+    n_clusters = clusters.select("cluster_id").distinct().count()
+    n_dups = clusters.where("doc_id != cluster_id").count()
+    wall = time.time() - t0
+    summary = {
+        "files": n_files,
+        "docs": n_docs,
+        "clusters": n_clusters,
+        "duplicates": n_dups,
+        "wall_s": round(wall, 2),
+        "files_per_sec": round(n_files / wall, 1),
+        "stages": [
+            {"name": r.name, "skipped": r.skipped, "wall_s": round(r.wall_s, 2)}
+            for r in pipe.results
+        ],
+        "work_dir": str(args.work_dir),
+    }
+    print(json.dumps(summary))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,214 @@
+"""Pipeline orchestrator — stages wired through the checkpoint ledger.
+
+This is the batch realization of the reference's protect lifecycle
+(SURVEY.md section 3.4). For each stage, in order:
+
+    claim (ledger.create, R6) -> compute (DataFrame transform, R12)
+    -> atomic data commit (TableStore snapshot, R7 phase 1)
+    -> completion record with metrics (ledger.mark_completed, R7 phase 2)
+
+Resume: a COMPLETED stage whose output snapshot still exists is skipped
+(duplicate call replays the stored result — DeduplicationContext.scala:163-167);
+TIMEOUT/EXPIRED claims are taken over via CAS (attempt_replacing, R9) and
+recomputed, which is safe because every stage is a deterministic function of
+(input snapshot, config) — SURVEY.md section 2.3 invariants 1/4/5.
+
+Per-stage `_metrics` (rows per output partition — the batch form of the
+reference's duplicate-detected callback counting, R4) and `_lineage`
+(input/output snapshots, config hash, wall time) tables are appended on every
+commit.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .ledger import Ledger, Status
+from .storage import TableStore
+from .stages import cluster as stage_cluster
+from .stages import exact as stage_exact
+from .stages import minhash_lsh as stage_minhash
+from .stages import simhash as stage_simhash
+from .stages import verify as stage_verify
+
+STAGES = ["sha256", "minhash_lsh", "simhash", "verify", "cluster"]
+_STAGE_KEY = "__stage__"  # one work unit per stage at this scale; a sharded
+# deployment uses one ledger id per partition range under the same context_id
+
+
+@dataclass
+class StageResult:
+    name: str
+    skipped: bool
+    wall_s: float
+    snapshots: dict[str, str] = field(default_factory=dict)
+
+
+class Pipeline:
+    def __init__(
+        self,
+        spark: SparkSession,
+        config: DedupConfig,
+        work_dir: str | Path,
+    ):
+        self.spark = spark
+        self.config = config
+        self.work_dir = Path(work_dir)
+        self.store = TableStore(self.work_dir / "tables")
+        self.ledger = Ledger(self.work_dir / "ledger")
+        self.results: list[StageResult] = []
+
+    # ------------------------------------------------------------------ API
+
+    def run(self, files: DataFrame, resume: bool = True) -> DataFrame:
+        """Run all stages over `files(repo, path, commit, lang, content)`;
+        returns the final clusters DataFrame."""
+        if not self.store.exists("files"):
+            self.store.write(files, "files")
+        self._stage("sha256", self._stage_sha256, resume)
+        self._stage("minhash_lsh", self._stage_minhash_lsh, resume)
+        self._stage("simhash", self._stage_simhash, resume)
+        self._stage("verify", self._stage_verify, resume)
+        self._stage("cluster", self._stage_cluster, resume)
+        return self.store.read(self.spark, "clusters")
+
+    # ----------------------------------------------------------- protocol
+
+    def _stage(self, name: str, fn, resume: bool) -> None:
+        now = time.time()
+        status = self.ledger.status(
+            _STAGE_KEY, name, self.config.max_processing_time_s, now
+        )
+        if resume and status is Status.COMPLETED:
+            proc = self.ledger.get(_STAGE_KEY, name)
+            payload = json.loads(proc.result)
+            if payload.get("config_hash") == self.config.config_hash() and all(
+                self.store.current_snapshot(t) == s
+                for t, s in payload["snapshots"].items()
+            ):
+                self.results.append(StageResult(name, True, 0.0, payload["snapshots"]))
+                return
+            # config changed or snapshots gone -> treat as expired, recompute
+            self.ledger.delete(_STAGE_KEY, name)
+            status = Status.NOT_STARTED
+        if status in (Status.TIMEOUT, Status.EXPIRED):
+            old = self.ledger.get(_STAGE_KEY, name)
+            if not self.ledger.attempt_replacing(
+                _STAGE_KEY, name, old.started_at, now
+            ):
+                raise RuntimeError(f"lost CAS takeover for stage {name}")
+        elif status in (Status.NOT_STARTED, Status.COMPLETED):
+            self.ledger.delete(_STAGE_KEY, name)
+            self.ledger.create(_STAGE_KEY, name, now)
+        # RUNNING with a live claim in a single-driver run means a previous
+        # attempt died without commit -> recompute is safe (at-least-once,
+        # reference README.md:211-219); the claim is ours now.
+        t0 = time.time()
+        outputs = fn()
+        snapshots = {t: self.store.write(df, t) for t, df in outputs.items()}
+        wall = time.time() - t0
+        self._append_metrics(name, list(outputs), wall)
+        self._append_lineage(name, snapshots, wall)
+        self.ledger.mark_completed(
+            _STAGE_KEY,
+            name,
+            {"snapshots": snapshots, "wall_s": wall,
+             "config_hash": self.config.config_hash()},
+            time.time(),
+            self.config.ttl_s,
+        )
+        self.results.append(StageResult(name, False, wall, snapshots))
+
+    def _append_metrics(self, stage: str, tables: list[str], wall: float) -> None:
+        rows = []
+        for t in tables:
+            per_part = (
+                self.store.read(self.spark, t)
+                .groupBy(F.spark_partition_id().alias("partition_id"))
+                .agg(F.count(F.lit(1)).alias("n_rows"))
+                .collect()
+            )
+            for r in per_part:
+                rows.append(
+                    dict(stage=stage, table=t, partition_id=int(r["partition_id"]),
+                         n_rows=int(r["n_rows"]), wall_s=wall)
+                )
+        pdf = pd.DataFrame(rows or [dict(stage=stage, table="", partition_id=-1,
+                                         n_rows=0, wall_s=wall)])
+        self._append_control("_metrics", pdf)
+
+    def _append_lineage(self, stage: str, snapshots: dict[str, str], wall: float) -> None:
+        inputs = {
+            t: self.store.current_snapshot(t)
+            for t in ["files", "hashed", "reps", "edges_lsh", "edges_simhash",
+                      "edges_verified"]
+            if self.store.exists(t) and t not in snapshots
+        }
+        pdf = pd.DataFrame([
+            dict(stage=stage, inputs=json.dumps(inputs),
+                 outputs=json.dumps(snapshots),
+                 config_hash=self.config.config_hash(),
+                 committed_at=time.time(), wall_s=wall)
+        ])
+        self._append_control("_lineage", pdf)
+
+    def _append_control(self, table: str, pdf: pd.DataFrame) -> None:
+        if self.store.exists(table):
+            pdf = pd.concat([self.store.read_pandas(table), pdf], ignore_index=True)
+        self.store.write_pandas(pdf, table)
+
+    # ------------------------------------------------------------- stages
+
+    def _stage_sha256(self) -> dict[str, DataFrame]:
+        files = self.store.read(self.spark, "files")
+        hashed = stage_exact.hash_content(files)
+        return {
+            # content pruned from the scan the moment the hash exists
+            "hashed": hashed.select("doc_id", "repo", "path", "commit", "lang", "sha"),
+            "reps": stage_exact.representatives(hashed),
+            "exact_clusters": stage_exact.exact_clusters(hashed),
+        }
+
+    def _stage_minhash_lsh(self) -> dict[str, DataFrame]:
+        reps = self.store.read(self.spark, "reps")
+        sigs = stage_minhash.signatures(reps, self.config)
+        bands = stage_minhash.band_rows(sigs)
+        return {"edges_lsh": stage_minhash.candidate_pairs(bands, self.config)}
+
+    def _stage_simhash(self) -> dict[str, DataFrame]:
+        reps = self.store.read(self.spark, "reps")
+        sh = stage_simhash.simhashes(reps, self.config)
+        return {"edges_simhash": stage_simhash.candidate_pairs(sh, self.config)}
+
+    def _stage_verify(self) -> dict[str, DataFrame]:
+        reps = self.store.read(self.spark, "reps")
+        edges = (
+            self.store.read(self.spark, "edges_lsh")
+            .unionByName(self.store.read(self.spark, "edges_simhash"))
+            .dropDuplicates(["src", "dst"])
+        )
+        pairs = stage_verify.attach_contents(edges, reps)
+        verified = stage_verify.verify_edges(
+            pairs, self.config, num_partitions=self.config.shuffle_partitions
+        )
+        return {"edges_verified": verified.where("accepted")}
+
+    def _stage_cluster(self) -> dict[str, DataFrame]:
+        edges = self.store.read(self.spark, "edges_verified")
+        exact_clusters = self.store.read(self.spark, "exact_clusters")
+        labels, rounds = stage_cluster.connected_components(edges)
+        clusters = stage_cluster.assign_clusters(exact_clusters, labels)
+        self._append_control(
+            "_metrics",
+            pd.DataFrame([dict(stage="cluster", table="cc_rounds",
+                               partition_id=-1, n_rows=rounds, wall_s=0.0)]),
+        )
+        return {"clusters": clusters}

@@ -30,6 +30,16 @@ def build_session(
       overrides via spark-submit --conf.
     - session timezone pinned UTC so timestamp semantics match the DuckDB oracle.
     """
+    # Make the package importable in Python worker processes. Deployment via
+    # spark-submit --py-files dist/dedup.zip achieves the same; for in-process
+    # sessions (tests, bench) we export PYTHONPATH before the JVM forks workers.
+    src_dir = str(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if src_dir not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            src_dir + (os.pathsep + existing if existing else "")
+        )
+
     master = master or os.environ.get("SPARK_GRAFT_MASTER", "local[32]")
     driver_mem = os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g")
     builder = (

@@ -1,0 +1,129 @@
+"""Stage 5 — connected components via alternating large-star / small-star.
+
+Driver-loop implementation of the Kiveris et al. MapReduce connected-
+components algorithm (SURVEY.md section 4.2.3; load-balancing context in
+PAPERS.md BTS entry) on plain DataFrame ops — GraphFrames is not assumed.
+Each round is two groupBy/join jobs; lineage is truncated per round with an
+eager localCheckpoint so the loop survives many iterations, and convergence
+is detected by an edge-set fingerprint (count + xor-style hash sum), one
+cheap aggregate per round.
+
+The final cluster_id = min(doc_id) of the component — the deterministic
+canonical election that replaces the reference's first-writer-wins
+(SURVEY.md section 2.3 invariant 3).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _canon(edges: DataFrame) -> DataFrame:
+    """Canonical undirected form: (u = max, v = min), self-loops dropped."""
+    return (
+        edges.select(
+            F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+        )
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    """Attach every strictly-larger neighbor of u to min(N(u) ∪ {u})."""
+    sym = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    mins = (
+        sym.groupBy("u")
+        .agg(F.min("v").alias("mn"))
+        .withColumn("m", F.least("u", "mn"))
+        .select("u", "m")
+    )
+    out = (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    """Attach every smaller neighbor (and u itself) to the min neighbor."""
+    d = _canon(edges)  # u > v for every row
+    mins = d.groupBy("u").agg(F.min("v").alias("mn"))
+    joined = d.join(mins, "u")
+    out = joined.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
+        mins.select(F.col("u"), F.col("mn").alias("v"))
+    )
+    return out.where(F.col("u") != F.col("v")).distinct()
+
+
+def _fingerprint(edges: DataFrame) -> tuple[int, int]:
+    row = edges.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).collect()[0]
+    return int(row["n"]), int(row["h"])
+
+
+def connected_components(
+    edges: DataFrame, max_iter: int = 50
+) -> tuple[DataFrame, int]:
+    """(doc_id, cluster_id) for every vertex appearing in `edges`, plus the
+    number of rounds to convergence.
+
+    `edges` needs columns (src, dst); isolated vertices are the caller's
+    concern (left-join + coalesce to self).
+    """
+    cur = _canon(
+        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
+    ).localCheckpoint(eager=True)
+    prev_fp = _fingerprint(cur)
+    rounds = 0
+    for rounds in range(1, max_iter + 1):
+        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
+        fp = _fingerprint(cur)
+        if fp == prev_fp:
+            break
+        prev_fp = fp
+    # Converged state: every edge is (member, root). Labels = min neighbor
+    # per node across both directions, coalesced with self.
+    sym = cur.unionByName(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    labels = sym.groupBy("u").agg(F.min("v").alias("mn")).select(
+        F.col("u").alias("doc_id"), F.least("u", "mn").alias("cluster_id")
+    )
+    return labels, rounds
+
+
+def assign_clusters(
+    exact_clusters: DataFrame, near_labels: DataFrame
+) -> DataFrame:
+    """Final clusters table merging exact groups with near-dup components.
+
+    near_labels are over exact-representative doc_ids; members of an exact
+    group inherit their representative's component (result replay to every
+    duplicate — reference DeduplicationContext.scala:163-167 semantics).
+    Output: clusters(doc_id, cluster_id, is_canonical, method).
+    """
+    # exact_clusters: (doc_id, cluster_id=rep_id, is_canonical, method)
+    rep_component = near_labels.withColumnRenamed("doc_id", "rep_id").withColumnRenamed(
+        "cluster_id", "component_id"
+    )
+    merged = (
+        exact_clusters.select(
+            "doc_id", F.col("cluster_id").alias("rep_id"), "method"
+        )
+        .join(rep_component, "rep_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("component_id", "rep_id").alias("cluster_id"),
+            F.when(F.col("component_id").isNull(), F.col("method"))
+            .otherwise(F.lit("near"))
+            .alias("method"),
+        )
+    )
+    return merged.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    ).select("doc_id", "cluster_id", "is_canonical", "method")

@@ -1,0 +1,94 @@
+"""Stage 3 — SimHash + Hamming-ball candidate generation.
+
+A second, independent near-dup channel (union'd with LSH candidates before
+verification — SURVEY.md section 2.2 set-ops row): 64-bit SimHash per content,
+candidates = pairs within Hamming distance <= config.hamming_radius.
+
+Candidate generation is the pigeonhole construction: split 64 bits into
+(radius+1) blocks; any two hashes within the radius agree exactly on at least
+one block, so an equi-join on (block_id, block_value) is a COMPLETE generator
+for the Hamming ball; the join is then filtered by true popcount distance —
+all JVM-side (`bit_count(a ^ b)`), no Python in the join path.
+
+Skew: block buckets get the same cap/star treatment as LSH buckets. A star
+edge to the bucket pivot is only kept if it passes the Hamming filter, so for
+mega-buckets SimHash intentionally under-generates; the LSH channel and the
+verify stage's pivot edges cover those (boilerplate families are
+near-identical, so pivot edges pass).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..config import DedupConfig
+from .. import kernels as K
+
+
+def simhashes(reps: DataFrame, config: DedupConfig) -> DataFrame:
+    """(doc_id, simhash: long, blocks: array<long>)."""
+    k = config.shingle_k
+    norm = config.normalize
+    n_blocks = config.hamming_radius + 1
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("simhash", T.LongType()),
+        T.StructField("blocks", T.ArrayType(T.LongType())),
+    ]))
+    def simhash_udf(texts: pd.Series) -> pd.DataFrame:
+        sh = K.simhash_batch(texts.tolist(), k, normalize=norm)
+        blocks = K.hamming_blocks(sh, n_blocks)
+        return pd.DataFrame({"simhash": sh, "blocks": list(blocks)})
+
+    return reps.select("doc_id", simhash_udf("content").alias("s")).select(
+        "doc_id", F.col("s.simhash").alias("simhash"), F.col("s.blocks").alias("blocks")
+    )
+
+
+def candidate_pairs(simhash_df: DataFrame, config: DedupConfig) -> DataFrame:
+    """Candidate edges (src < dst) within the Hamming ball, skew-capped."""
+    block_rows = simhash_df.select(
+        "doc_id", "simhash", F.posexplode("blocks").alias("block_id", "block_val")
+    )
+    w = Window.partitionBy("block_id", "block_val")
+    sized = (
+        block_rows
+        .withColumn("bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("bsz") >= 2)
+    )
+    small = sized.where(F.col("bsz") <= config.bucket_cap).drop("bsz")
+    a, b = small.alias("a"), small.alias("b")
+    pairs_small = (
+        a.join(b, ["block_id", "block_val"])
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("src"),
+            F.col("b.doc_id").alias("dst"),
+            F.col("a.simhash").alias("sim_src"),
+            F.col("b.simhash").alias("sim_dst"),
+        )
+    )
+    big = sized.where(F.col("bsz") > config.bucket_cap)
+    wp = Window.partitionBy("block_id", "block_val")
+    pivots = (
+        big.withColumn("pivot", F.min("doc_id").over(wp))
+        .withColumn(
+            "pivot_sim",
+            F.min(F.struct("doc_id", "simhash")).over(wp)["simhash"],
+        )
+        .where(F.col("doc_id") != F.col("pivot"))
+        .select(
+            F.col("pivot").alias("src"),
+            F.col("doc_id").alias("dst"),
+            F.col("pivot_sim").alias("sim_src"),
+            F.col("simhash").alias("sim_dst"),
+        )
+    )
+    all_pairs = pairs_small.unionByName(pivots)
+    within = all_pairs.where(
+        F.expr(f"bit_count(sim_src ^ sim_dst) <= {config.hamming_radius}")
+    )
+    return within.select("src", "dst").dropDuplicates(["src", "dst"])

@@ -1,0 +1,94 @@
+"""Stage 4 — pairwise verification of candidate edges.
+
+Candidates from LSH/SimHash are probabilistic; this stage is the ground-truth
+gate before clustering (the batch analogue of the reference decoding the
+STORED result instead of trusting the caller — DeduplicationContext.scala:163-167:
+a duplicate claim must be proven against the actual content).
+
+Per candidate pair, on the normalized contents:
+- exact k-shingle Jaccard (vectorized set intersection of shingle hashes),
+- if Jaccard is inconclusive (below the fast-accept floor but above the
+  reject gate), suffix-array longest-common-substring (kernels.py, prefix
+  doubling + binary-lifting LCP — the SURVEY.md section 7 step-5 kernel).
+
+Accept iff jaccard >= jaccard_floor OR lcs >= max(lcs_min_chars,
+lcs_min_ratio * min(len_a, len_b)).
+
+Physical plan: two repartition-joins attach contents by doc_id, then an
+explicit `repartition(content-bearing pair rows)` bounds task payload before
+mapInPandas (pair rows carry TWO contents — SURVEY.md section 4.2.2), and the
+verification runs one Arrow batch at a time with no Spark-side per-row Python.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from .. import kernels as K
+
+_OUT_SCHEMA = (
+    "src long, dst long, jaccard double, lcs long, accepted boolean"
+)
+
+# below this Jaccard a pair is rejected without the (expensive) LCS check;
+# type-3 clones (one moved/inserted block) sit well above it.
+_LCS_GATE = 0.10
+
+
+def attach_contents(edges: DataFrame, reps: DataFrame) -> DataFrame:
+    """(src, dst, content_src, content_dst) via two equi-joins on doc_id."""
+    c = reps.select("doc_id", "content")
+    return (
+        edges.join(c.withColumnRenamed("doc_id", "src")
+                    .withColumnRenamed("content", "content_src"), "src")
+        .join(c.withColumnRenamed("doc_id", "dst")
+               .withColumnRenamed("content", "content_dst"), "dst")
+        .select("src", "dst", "content_src", "content_dst")
+    )
+
+
+def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
+                 num_partitions: int | None = None) -> DataFrame:
+    """Score and filter candidate pairs; returns accepted edges with evidence."""
+    k = config.shingle_k
+    norm = config.normalize
+    floor = config.jaccard_floor
+    lcs_min = config.lcs_min_chars
+    lcs_ratio = config.lcs_min_ratio
+
+    def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            jac = [0.0] * n
+            lcs = [0] * n
+            ok = [False] * n
+            for i in range(n):
+                ca = pdf["content_src"].iat[i]
+                cb = pdf["content_dst"].iat[i]
+                if norm:
+                    ca, cb = K.normalize_text(ca), K.normalize_text(cb)
+                j = K.jaccard_shingles(ca, cb, k, normalize=False)
+                jac[i] = j
+                if j >= floor:
+                    ok[i] = True
+                    continue
+                if j < _LCS_GATE:
+                    continue
+                ln = K.longest_common_substring(ca, cb)
+                lcs[i] = ln
+                threshold = max(lcs_min, int(lcs_ratio * min(len(ca), len(cb))))
+                ok[i] = ln >= threshold
+            yield pd.DataFrame(
+                {"src": pdf["src"], "dst": pdf["dst"], "jaccard": jac,
+                 "lcs": lcs, "accepted": ok}
+            )
+
+    df = pairs_with_content
+    if num_partitions:
+        df = df.repartition(num_partitions, "src", "dst")
+    return df.mapInPandas(_verify, _OUT_SCHEMA)

@@ -1,0 +1,173 @@
+"""End-to-end pipeline: recall/precision vs planted truth + resume protocol.
+
+Maps the reference's integration layer (DeduplicationSuite.scala) onto the
+batch pipeline: recall >= 0.99 on planted clone pairs (BASELINE.md), exact
+re-run is a no-op (idempotency, :121-136 analogue), takeover/recompute after
+simulated failure yields identical clusters (:99-119 analogue).
+"""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.corpus import generate_corpus
+from dedup.ledger import Status
+from dedup.pipeline import STAGES, Pipeline
+
+CFG = DedupConfig(shuffle_partitions=8)
+N_ROWS = 600
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(N_ROWS, seed=42)
+
+
+@pytest.fixture(scope="module")
+def run_dir(tmp_path_factory):
+    return tmp_path_factory.mktemp("pipeline")
+
+
+@pytest.fixture(scope="module")
+def clusters(spark, corpus, run_dir):
+    files = spark.createDataFrame(corpus.files)
+    pipe = Pipeline(spark, CFG, run_dir)
+    out = pipe.run(files)
+    return out.toPandas(), pipe
+
+
+def _pairs_from_clusters(cl: pd.DataFrame) -> set[tuple[int, int]]:
+    pairs = set()
+    for _, grp in cl.groupby("cluster_id"):
+        ids = sorted(grp.doc_id)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+    return pairs
+
+
+def _truth_pairs_docids(spark, corpus, run_dir) -> tuple[set, dict]:
+    """Planted truth pairs mapped to doc_ids via the Spark-side xxhash64."""
+    hashed = (
+        spark.read.parquet(str(run_dir / "tables" / "hashed" /
+                               json.loads((run_dir / "tables" / "hashed" / "CURRENT").read_text())["snapshot"]))
+        .select("doc_id", "repo", "path", "commit")
+        .toPandas()
+    )
+    key_to_id = {
+        (r.repo, r.path, r.commit): r.doc_id for r in hashed.itertuples()
+    }
+    truth = corpus.truth
+    pairs = set()
+    by_type = {}
+    dup = truth[truth.clone_type != "unique"]
+    for (cid), grp in dup.groupby("truth_cluster_id"):
+        ids = sorted(
+            key_to_id[(r.repo, r.path, r.commit)] for r in grp.itertuples()
+        )
+        ctype = grp.clone_type.iloc[0]
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                pairs.add((ids[i], ids[j]))
+                by_type.setdefault(ctype, set()).add((ids[i], ids[j]))
+    return pairs, by_type
+
+
+def test_recall_ge_99(spark, corpus, run_dir, clusters):
+    cl, _ = clusters
+    found = _pairs_from_clusters(cl)
+    truth, by_type = _truth_pairs_docids(spark, corpus, run_dir)
+    recall = len(found & truth) / len(truth)
+    per_type = {
+        t: len(found & p) / len(p) for t, p in sorted(by_type.items())
+    }
+    assert recall >= 0.99, f"recall={recall:.4f} per-type={per_type}"
+
+
+def test_precision_no_unique_merged(spark, corpus, run_dir, clusters):
+    """Pairs between different truth clusters are precision errors; allow a
+    tiny tolerance for grammar-generated accidental near-dups."""
+    cl, _ = clusters
+    found = _pairs_from_clusters(cl)
+    truth, _ = _truth_pairs_docids(spark, corpus, run_dir)
+    false_pairs = found - truth
+    precision = 1 - len(false_pairs) / max(len(found), 1)
+    assert precision >= 0.97, f"precision={precision:.4f} ({len(false_pairs)} false pairs)"
+
+
+def test_all_docs_assigned_exactly_once(clusters, corpus):
+    cl, _ = clusters
+    assert len(cl) == len(corpus.files)
+    assert cl.doc_id.is_unique
+    # every cluster's id is its min member (canonical election invariant)
+    mins = cl.groupby("cluster_id").doc_id.min()
+    assert (mins.index == mins.values).all()
+    # exactly one canonical per cluster
+    canon = cl.groupby("cluster_id").is_canonical.sum()
+    assert (canon == 1).all()
+
+
+def test_all_stages_completed(clusters):
+    _, pipe = clusters
+    for s in STAGES:
+        assert pipe.ledger.status("__stage__", s, CFG.max_processing_time_s,
+                                  __import__("time").time()) is Status.COMPLETED
+
+
+def test_rerun_is_noop(spark, corpus, run_dir, clusters):
+    """Re-running a committed pipeline recomputes nothing (duplicate call
+    replays stored result — reference DeduplicationSuite.scala:121-136)."""
+    _, first = clusters
+    snaps_before = {
+        t: first.store.current_snapshot(t)
+        for t in ["hashed", "reps", "exact_clusters", "edges_lsh",
+                  "edges_simhash", "edges_verified", "clusters"]
+    }
+    pipe2 = Pipeline(spark, CFG, run_dir)
+    files = spark.createDataFrame(corpus.files)
+    pipe2.run(files)
+    assert all(r.skipped for r in pipe2.results), [
+        (r.name, r.skipped) for r in pipe2.results
+    ]
+    for t, s in snaps_before.items():
+        assert pipe2.store.current_snapshot(t) == s, t
+
+
+def test_resume_after_simulated_failure(spark, corpus, run_dir, clusters):
+    """Kill after stage 3 (simulated: delete ledger rows for later stages),
+    re-run, final clusters byte-identical; earlier stages untouched."""
+    cl_before, first = clusters
+    early = ["sha256", "minhash_lsh", "simhash"]
+    snaps_early = {t: first.store.current_snapshot(t)
+                   for t in ["hashed", "reps", "exact_clusters",
+                             "edges_lsh", "edges_simhash"]}
+    for s in ["verify", "cluster"]:
+        first.ledger.delete("__stage__", s)
+    pipe3 = Pipeline(spark, CFG, run_dir)
+    files = spark.createDataFrame(corpus.files)
+    out = pipe3.run(files).toPandas()
+    by_name = {r.name: r for r in pipe3.results}
+    for s in early:
+        assert by_name[s].skipped, s
+    for s in ["verify", "cluster"]:
+        assert not by_name[s].skipped, s
+    for t, s in snaps_early.items():
+        assert pipe3.store.current_snapshot(t) == s, t
+    a = cl_before.sort_values("doc_id").reset_index(drop=True)
+    b = out.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+
+
+def test_metrics_and_lineage_written(clusters):
+    _, pipe = clusters
+    metrics = pipe.store.read_pandas("_metrics")
+    lineage = pipe.store.read_pandas("_lineage")
+    assert set(STAGES) <= set(metrics.stage)
+    assert set(STAGES) <= set(lineage.stage)
+    assert (metrics.n_rows >= 0).all()
+    assert lineage.config_hash.nunique() == 1

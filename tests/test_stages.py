@@ -1,0 +1,211 @@
+"""Per-stage unit tests against pandas/networkx oracles (FIXTURES.md section 4)."""
+
+from __future__ import annotations
+
+import hashlib
+
+import networkx as nx
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from dedup import kernels as K
+from dedup.config import DedupConfig
+from dedup.corpus import generate_corpus
+from dedup.stages import cluster as SC
+from dedup.stages import exact as SE
+from dedup.stages import minhash_lsh as SM
+from dedup.stages import simhash as SS
+from dedup.stages import verify as SV
+
+CFG = DedupConfig(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_corpus(400, seed=42)
+
+
+@pytest.fixture(scope="module")
+def files_df(spark, corpus):
+    return spark.createDataFrame(corpus.files)
+
+
+@pytest.fixture(scope="module")
+def hashed(files_df):
+    df = SE.hash_content(files_df)
+    df.cache().count()
+    return df
+
+
+# ---------------------------------------------------------------------------
+# exact stage
+# ---------------------------------------------------------------------------
+
+def test_sha256_per_row_invariant(hashed, corpus):
+    """Spark sha2(content, 256) == hashlib.sha256 over utf-8 bytes — the
+    per-row invariant vs the reference (BASELINE.json input_hint)."""
+    got = {
+        (r["repo"], r["path"], r["commit"]): r["sha"]
+        for r in hashed.select("repo", "path", "commit", "sha").collect()
+    }
+    sample = corpus.files.sample(50, random_state=0)
+    for _, row in sample.iterrows():
+        expect = hashlib.sha256(row.content.encode("utf-8")).hexdigest()
+        assert got[(row.repo, row.path, row.commit)] == expect
+
+
+def test_doc_ids_unique(hashed):
+    n = hashed.count()
+    assert hashed.select("doc_id").distinct().count() == n
+
+
+def test_exact_clusters_match_pandas_oracle(hashed, corpus):
+    clusters = SE.exact_clusters(hashed).toPandas()
+    docs = hashed.select("doc_id", "sha").toPandas()
+    oracle = docs.groupby("sha").doc_id.transform("min")
+    merged = docs.assign(expect=oracle).merge(clusters, on="doc_id")
+    assert (merged.cluster_id == merged.expect).all()
+    # canonical iff own cluster id
+    assert ((merged.doc_id == merged.cluster_id) == merged.is_canonical).all()
+
+
+def test_representatives_one_per_sha(hashed):
+    reps = SE.representatives(hashed)
+    n_sha = hashed.select("sha").distinct().count()
+    assert reps.count() == n_sha
+    assert reps.select("sha").distinct().count() == n_sha
+
+
+# ---------------------------------------------------------------------------
+# minhash/LSH stage
+# ---------------------------------------------------------------------------
+
+@pytest.fixture(scope="module")
+def reps(hashed):
+    df = SE.representatives(hashed)
+    df.cache().count()
+    return df
+
+
+def test_signature_udf_matches_kernel(spark, reps):
+    sig_df = SM.signatures(reps, CFG)
+    got = {r["doc_id"]: r["bands"] for r in sig_df.collect()}
+    sample = reps.limit(10).select("doc_id", "content").collect()
+    a, b = K.make_minhash_coeffs(CFG.num_perm, CFG.seed)
+    for r in sample:
+        sigs = K.minhash_batch([r["content"]], CFG.shingle_k, a, b, CFG.normalize)
+        expect = K.band_hashes(sigs, CFG.bands, CFG.rows_per_band)[0]
+        assert list(expect) == got[r["doc_id"]]
+
+
+def test_lsh_candidates_cover_high_jaccard_pairs(spark, reps, corpus):
+    """Every type2 rep pair (J >= ~0.8) must appear as an LSH candidate."""
+    sig_df = SM.signatures(reps, CFG)
+    edges = SM.candidate_pairs(SM.band_rows(sig_df), CFG).toPandas()
+    edge_set = {(min(s, d), max(s, d)) for s, d in zip(edges.src, edges.dst)}
+
+    rp = reps.select("doc_id", "repo", "path", "commit").toPandas()
+    key_to_id = {(r.repo, r.path, r.commit): r.doc_id for r in rp.itertuples()}
+    merged = corpus.files.merge(corpus.truth, on=["repo", "path", "commit"])
+    missing = 0
+    total = 0
+    for _, grp in merged[merged.clone_type == "type2"].groupby("truth_cluster_id"):
+        ids = [key_to_id.get((r.repo, r.path, r.commit)) for r in grp.itertuples()]
+        ids = sorted(i for i in ids if i is not None)
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                total += 1
+                if (ids[i], ids[j]) not in edge_set:
+                    missing += 1
+    assert total > 20
+    assert missing <= max(1, int(0.01 * total)), f"missing {missing}/{total}"
+
+
+def test_mega_bucket_star_capped(spark, reps):
+    """Boilerplate family must produce linear (not quadratic) edges."""
+    cfg = DedupConfig(bucket_cap=8, shuffle_partitions=8)
+    sig_df = SM.signatures(reps, cfg)
+    edges = SM.candidate_pairs(SM.band_rows(sig_df), cfg)
+    n_reps = reps.count()
+    # with cap 8, total edges must stay far below quadratic in family size
+    assert edges.count() < 40 * n_reps
+
+
+# ---------------------------------------------------------------------------
+# simhash stage
+# ---------------------------------------------------------------------------
+
+def test_simhash_candidates_within_radius(spark, reps):
+    sh = SS.simhashes(reps, CFG)
+    sh.cache().count()
+    edges = SS.candidate_pairs(sh, CFG)
+    hm = {r["doc_id"]: r["simhash"] for r in sh.collect()}
+    import numpy as np
+
+    for r in edges.limit(200).collect():
+        d = K.hamming_distance(
+            np.array([hm[r["src"]]], dtype=np.int64),
+            np.array([hm[r["dst"]]], dtype=np.int64),
+        )[0]
+        assert d <= CFG.hamming_radius
+
+
+# ---------------------------------------------------------------------------
+# verify stage
+# ---------------------------------------------------------------------------
+
+def test_verify_accepts_near_rejects_far(spark):
+    rows = [
+        (1, 2, "a" * 500, "a" * 500),                        # identical
+        (3, 4, "x" * 300 + "common block " * 30, "y" * 300 + "common block " * 30),
+        (5, 6, "completely different text one two three " * 20,
+               "nothing alike here at all zebra quantum " * 20),
+    ]
+    df = spark.createDataFrame(
+        rows, "src long, dst long, content_src string, content_dst string"
+    )
+    out = {(r["src"], r["dst"]): r for r in SV.verify_edges(df, CFG).collect()}
+    assert out[(1, 2)]["accepted"] is True
+    assert out[(3, 4)]["accepted"] is True   # big common substring
+    assert out[(5, 6)]["accepted"] is False
+
+
+# ---------------------------------------------------------------------------
+# connected components vs networkx
+# ---------------------------------------------------------------------------
+
+def test_cc_matches_networkx_random_graphs(spark):
+    import random
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 120
+        edges = [
+            (rng.randrange(n), rng.randrange(n))
+            for _ in range(80 + 40 * trial)
+        ]
+        edges = [(a, b) for a, b in edges if a != b]
+        df = spark.createDataFrame(edges, "src long, dst long")
+        labels, rounds = SC.connected_components(df)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+
+        g = nx.Graph()
+        g.add_edges_from(edges)
+        for comp in nx.connected_components(g):
+            expect = min(comp)
+            for v in comp:
+                assert got[v] == expect, f"trial {trial} vertex {v}"
+        assert rounds < 20
+
+
+def test_cc_chain_graph(spark):
+    """Worst-case diameter: a long path must still converge (log rounds)."""
+    n = 200
+    edges = [(i, i + 1) for i in range(n - 1)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    labels, rounds = SC.connected_components(df)
+    got = labels.collect()
+    assert all(r["cluster_id"] == 0 for r in got)
+    assert len(got) == n
+    assert rounds <= 15
