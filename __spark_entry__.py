@@ -1,38 +1,48 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)   — flagship near-dup clustering over sf0.001 documents.
+queries()      — every implemented operator (SURVEY.md section 2 + training-data
+                 ops), each (spark, sf_dir) -> DataFrame.
+oracle_sql()   — DuckDB-equivalent SQL for the SQL-expressible subset; the
+                 pandas-UDF-backed channels (MinHash/LSH, SimHash, ANN,
+                 near-dup clustering) are rows-only by design.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
+from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+_SRC = str(Path(__file__).resolve().parent / "src")
+if _SRC not in sys.path:
+    sys.path.insert(0, _SRC)
+
+
+def _registry():
+    from dedup.ops import dedup_queries, relational, similarity, textops
+
+    merged: dict[str, tuple] = {}
+    for mod in (dedup_queries, textops, similarity, relational):
+        merged.update(mod.QUERIES)
+    return merged
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship query on /root/testdata/sf0.001: full near-dup clustering
+    (MinHash/LSH + SimHash candidates -> verify -> connected components)."""
+    from dedup.ops.dedup_queries import neardup_clusters_documents
+
+    return neardup_clusters_documents(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: fn for name, (fn, _sql) in _registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        name: sql for name, (_fn, sql) in _registry().items() if sql is not None
+    }

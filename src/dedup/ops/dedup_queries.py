@@ -1,0 +1,113 @@
+"""Dedup-family queries over the generic `documents` table.
+
+These expose every dedup channel of the engine as a driver-checkable query
+(SURVEY.md section 2.2 dedup-specific row): exact sha256 dedup (SQL oracle),
+MinHash/LSH and SimHash candidate generation and the full near-dup
+clustering (pandas-UDF-backed => rows-only oracle).
+
+`documents.text` plays the role of `code_files.content`; doc_id is given.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..config import DedupConfig
+from ..stages import cluster as SC
+from ..stages import minhash_lsh as SM
+from ..stages import simhash as SS
+from ..stages import verify as SV
+from . import load_table
+
+# documents are short (50-550 chars) vs code files: smaller shingles, laxer
+# verification so the channels are exercised end-to-end on this corpus.
+DOC_CFG = DedupConfig(
+    shingle_k=5, lcs_min_chars=30, lcs_min_ratio=0.2, jaccard_floor=0.35
+)
+
+
+def _docs_as_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.col("text").alias("content")
+    )
+
+
+def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc exact cluster: min doc_id over identical sha256(text)."""
+    docs = load_table(spark, sf_dir, "documents")
+    hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
+    owners = hashed.groupBy("sha").agg(F.min("doc_id").alias("cluster_id"))
+    return (
+        hashed.join(owners, "sha")
+        .select(
+            "doc_id",
+            "cluster_id",
+            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+        )
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT doc_id,
+       min(doc_id) OVER (PARTITION BY sha256(text)) AS cluster_id,
+       doc_id = min(doc_id) OVER (PARTITION BY sha256(text)) AS is_canonical
+FROM documents
+"""
+
+
+def exact_dedup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct(F.sha2(F.col("text"), 256)).alias("n_distinct"),
+    )
+
+
+EXACT_STATS_SQL = """
+SELECT count(*) AS n_docs, count(DISTINCT sha256(text)) AS n_distinct
+FROM documents
+"""
+
+
+def minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = _docs_as_reps(spark, sf_dir)
+    sigs = SM.signatures(reps, DOC_CFG)
+    return SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
+
+
+def simhash_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    reps = _docs_as_reps(spark, sf_dir)
+    return SS.candidate_pairs(SS.simhashes(reps, DOC_CFG), DOC_CFG)
+
+
+def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full near-dup flow on documents, composed as pure DataFrame ops
+    (no checkpoint store — the store-backed path is jobs/run_pipeline.py)."""
+    reps = _docs_as_reps(spark, sf_dir)
+    sigs = SM.signatures(reps, DOC_CFG)
+    e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
+    e_sim = SS.candidate_pairs(SS.simhashes(reps, DOC_CFG), DOC_CFG)
+    edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
+    verified = SV.verify_edges(
+        SV.attach_contents(edges, reps), DOC_CFG
+    ).where("accepted")
+    labels, _ = SC.connected_components(verified)
+    docs = reps.select("doc_id")
+    return (
+        docs.join(labels, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("doc_id") == F.col("cluster_id"))
+    )
+
+
+QUERIES = {
+    "exact_dedup_clusters": (exact_dedup_clusters, EXACT_DEDUP_SQL),
+    "exact_dedup_stats": (exact_dedup_stats, EXACT_STATS_SQL),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, None),
+    "simhash_candidates": (simhash_candidates, None),
+    "neardup_clusters_documents": (neardup_clusters_documents, None),
+}

@@ -1,0 +1,229 @@
+"""Text-analysis operators for a training-data pipeline over `documents`:
+token stats, quality scoring, language-ID heuristic, fingerprinting, and
+token-n-gram Jaccard near-dup pairs — all SQL-expressible with DuckDB oracles.
+
+Cross-engine determinism: only functions with identical semantics in Spark
+and DuckDB are used (split-on-space, replace, regexp_replace on fixed
+classes, sha256, floor); ratios rounded to 4 decimals.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from . import load_table
+
+
+def _round4(x):
+    """Explicit half-up 4-decimal rounding: floor(x*10000 + 0.5)/10000.
+
+    Engine-neutral: Spark's round() is HALF_UP while DuckDB's is HALF_EVEN,
+    which diverges on exact ties (e.g. ratios like 1/32 = 0.03125); floor has
+    no tie rule, and the IEEE double arithmetic feeding it is bit-identical
+    in both engines for the same expression shape.
+    """
+    return F.floor(x * 10000 + F.lit(0.5)) / 10000
+
+
+_ROUND4_SQL = "floor(({x}) * 10000 + 0.5) / 10000"
+
+
+def doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting (whitespace tokenization) — SURVEY.md training-data op."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("token_cnt"),
+        F.size(F.array_distinct(toks)).alias("distinct_token_cnt"),
+        F.length("text").alias("char_cnt"),
+    )
+
+
+DOC_TOKEN_STATS_SQL = """
+SELECT doc_id,
+       len(string_split(text, ' ')) AS token_cnt,
+       len(list_distinct(string_split(text, ' '))) AS distinct_token_cnt,
+       length(text) AS char_cnt
+FROM documents
+"""
+
+
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: lexical diversity + alpha ratio + stopword signal."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_tok = F.size(toks)
+    n_dis = F.size(F.array_distinct(toks))
+    alpha_cnt = F.length(F.regexp_replace(F.col("text"), "[^a-z]", ""))
+    the_cnt = (
+        (F.length("text") - F.length(F.regexp_replace(F.col("text"), "the", "")))
+        / F.lit(3)
+    ).cast("int")
+    diversity = _round4(n_dis.cast("double") / n_tok)
+    alpha_ratio = _round4(alpha_cnt.cast("double") / F.length("text"))
+    return docs.select(
+        "doc_id",
+        diversity.alias("diversity"),
+        alpha_ratio.alias("alpha_ratio"),
+        the_cnt.alias("stopword_cnt"),
+        _round4(0.5 * diversity + 0.5 * alpha_ratio).alias("quality_score"),
+    )
+
+
+_DIV_RAW = ("cast(len(list_distinct(string_split(text, ' '))) as double)"
+            " / len(string_split(text, ' '))")
+_ALPHA_RAW = ("cast(length(regexp_replace(text, '[^a-z]', '', 'g')) as double)"
+              " / length(text)")
+_DIV4 = _ROUND4_SQL.format(x=_DIV_RAW)
+_ALPHA4 = _ROUND4_SQL.format(x=_ALPHA_RAW)
+
+DOC_QUALITY_SQL = f"""
+SELECT doc_id,
+       {_DIV4} AS diversity,
+       {_ALPHA4} AS alpha_ratio,
+       cast((length(text) - length(regexp_replace(text, 'the', '', 'g'))) / 3
+            AS int) AS stopword_cnt,
+       {_ROUND4_SQL.format(x=f"0.5 * ({_DIV4}) + 0.5 * ({_ALPHA4})")} AS quality_score
+FROM documents
+"""
+
+
+def lang_id_heuristic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marker-word language ID (n-gram-heuristic stand-in): deterministic
+    argmax over per-language marker counts with fixed precedence."""
+    docs = load_table(spark, sf_dir, "documents")
+
+    def cnt(marker: str):
+        return (
+            (F.length("text")
+             - F.length(F.regexp_replace(F.col("text"), marker, "")))
+            / F.lit(len(marker))
+        ).cast("int")
+
+    c_en, c_es, c_zh = cnt(" the "), cnt(" el "), cnt(" zh ")
+    pred = (
+        F.when((c_en >= c_es) & (c_en >= c_zh), "en")
+        .when(c_es >= c_zh, "es")
+        .otherwise("zh")
+    )
+    return docs.select(
+        "doc_id", c_en.alias("c_en"), c_es.alias("c_es"), pred.alias("pred_lang")
+    )
+
+
+LANG_ID_SQL = """
+SELECT doc_id,
+       cast((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) / 5 AS int) AS c_en,
+       cast((length(text) - length(regexp_replace(text, ' el ', '', 'g'))) / 4 AS int) AS c_es,
+       CASE
+         WHEN cast((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) / 5 AS int)
+              >= cast((length(text) - length(regexp_replace(text, ' el ', '', 'g'))) / 4 AS int)
+          AND cast((length(text) - length(regexp_replace(text, ' the ', '', 'g'))) / 5 AS int)
+              >= cast((length(text) - length(regexp_replace(text, ' zh ', '', 'g'))) / 4 AS int)
+         THEN 'en'
+         WHEN cast((length(text) - length(regexp_replace(text, ' el ', '', 'g'))) / 4 AS int)
+              >= cast((length(text) - length(regexp_replace(text, ' zh ', '', 'g'))) / 4 AS int)
+         THEN 'es'
+         ELSE 'zh'
+       END AS pred_lang
+FROM documents
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: content-hash prefix + length bucket."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.substring(F.sha2(F.col("text"), 256), 1, 16).alias("fp"),
+        F.floor(F.col("n_chars") / 100.0).cast("int").alias("len_bucket"),
+    )
+
+
+DOC_FINGERPRINT_SQL = """
+SELECT doc_id,
+       substr(sha256(text), 1, 16) AS fp,
+       cast(floor(n_chars / 100.0) AS int) AS len_bucket
+FROM documents
+"""
+
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-3-gram Jaccard near-dup pairs (>= 0.15) — the SQL-expressible
+    oracle twin of the MinHash/LSH channel (which estimates exactly this)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    grams_expr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at(toks, i + 1),
+                F.element_at(toks, i + 2),
+                F.element_at(toks, i + 3),
+            ),
+        )
+    )
+    g = (
+        docs.where(F.size(toks) >= 3)
+        .select("doc_id", grams_expr.alias("grams"))
+        .select("doc_id", "grams", F.size("grams").alias("n_grams"))
+    )
+    ex = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    a = ex.select(
+        F.col("doc_id").alias("src"), F.col("n_grams").alias("na"), "gram"
+    )
+    b = ex.select(
+        F.col("doc_id").alias("dst"), F.col("n_grams").alias("nb"), "gram"
+    )
+    pairs = (
+        a.join(b, "gram")
+        .where(F.col("src") < F.col("dst"))
+        .groupBy("src", "dst", "na", "nb")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    jacc = _round4(
+        F.col("shared").cast("double")
+        / (F.col("na") + F.col("nb") - F.col("shared"))
+    )
+    return (
+        pairs.withColumn("jacc", jacc)
+        .where(F.col("jacc") >= 0.15)
+        .select("src", "dst", "jacc")
+    )
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+  SELECT doc_id, string_split(text, ' ') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         list_distinct([t[i] || ' ' || t[i+1] || ' ' || t[i+2]
+                        for i in range(1, len(t) - 1)]) AS g
+  FROM toks WHERE len(t) >= 3
+),
+counted AS (SELECT doc_id, g, len(g) AS n_grams FROM grams),
+ex AS (SELECT doc_id, n_grams, unnest(g) AS gram FROM counted),
+pairs AS (
+  SELECT a.doc_id AS src, b.doc_id AS dst, a.n_grams AS na, b.n_grams AS nb,
+         count(*) AS shared
+  FROM ex a JOIN ex b ON a.gram = b.gram AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4
+)
+SELECT src, dst,
+       floor((cast(shared as double) / (na + nb - shared)) * 10000 + 0.5) / 10000 AS jacc
+FROM pairs
+WHERE floor((cast(shared as double) / (na + nb - shared)) * 10000 + 0.5) / 10000 >= 0.15
+"""
+
+
+QUERIES = {
+    "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_quality": (doc_quality, DOC_QUALITY_SQL),
+    "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
+    "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),
+    "ngram_jaccard_pairs": (ngram_jaccard_pairs, NGRAM_JACCARD_SQL),
+}
