@@ -22,10 +22,12 @@ if _SRC not in sys.path:
 
 
 def _registry():
-    from dedup.ops import dedup_queries, relational, similarity, textops
+    from dedup.ops import (
+        dedup_queries, multimodal, relational, similarity, textops,
+    )
 
     merged: dict[str, tuple] = {}
-    for mod in (dedup_queries, textops, similarity, relational):
+    for mod in (dedup_queries, textops, similarity, relational, multimodal):
         merged.update(mod.QUERIES)
     return merged
 

@@ -1,0 +1,118 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Runs the headline queries at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+on local[$SPARK_GRAFT_CPUS] (default 32) and prints:
+
+    {"metric": "...", "value": <total_sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+Headline set:
+- the full near-dup pipeline on a synthetic code corpus sized to the sf tier
+  (the north-rule workload; files/sec reported) and on `documents`,
+- representative operator queries (aggregation, join, window, text, vector).
+
+Every query is forced with a noop-format write so nothing is pruned by the
+final action. Scaling evidence (local[8] vs local[32]) is produced by
+BENCH/run_scaling.py, which invokes this file in subprocesses.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+SRC = str(Path(__file__).resolve().parent / "src")
+if SRC not in sys.path:
+    sys.path.insert(0, SRC)
+
+
+def _force(df) -> int:
+    """Materialize a DataFrame fully (noop sink: no pruning, no disk)."""
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+# corpus rows per sf tier: sf0.1 -> 20k files (content 200..8000 chars,
+# ~50 MB of text); scaled linearly below that.
+_CORPUS_ROWS = {"0.001": 1000, "0.01": 4000, "0.1": 20000}
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    from dedup.config import DedupConfig
+    from dedup.corpus import generate_corpus
+    from dedup.ops import dedup_queries, relational, similarity, textops
+    from dedup.pipeline import run_dataframe_pipeline
+    from dedup.session import build_session
+
+    config = DedupConfig(shuffle_partitions=int(cpus))
+    spark = build_session(
+        "dedup-bench", master=f"local[{cpus}]", config=config
+    )
+
+    timings: dict[str, float] = {}
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # --- north-rule workload: full pipeline over a code corpus ------------
+    n_rows = _CORPUS_ROWS.get(sf, 4000)
+    corpus = generate_corpus(n_rows, seed=42)  # generation excluded from timing
+    files = spark.createDataFrame(corpus.files)
+    files = files.repartition(int(cpus)).persist()
+    files.count()
+
+    bench("pipeline_code_corpus", lambda: _force(
+        run_dataframe_pipeline(files, config)
+    ))
+    files_per_sec = round(n_rows / timings["pipeline_code_corpus"], 1)
+
+    # --- documents near-dup + operator queries ----------------------------
+    q = {}
+    q.update(dedup_queries.QUERIES)
+    q.update(textops.QUERIES)
+    q.update(similarity.QUERIES)
+    q.update(relational.QUERIES)
+    headline = [
+        "neardup_clusters_documents",
+        "exact_dedup_clusters",
+        "ngram_jaccard_pairs",
+        "doc_quality",
+        "embedding_topk_cosine",
+        "embedding_ann_lsh",
+        "q1_pricing_summary",
+        "q3_revenue_topk",
+        "revenue_by_nation",
+        "window_top3_orders_per_cust",
+        "sessionize_events",
+        "events_daily_agg",
+    ]
+    for name in headline:
+        fn, _sql = q[name]
+        bench(name, lambda fn=fn: _force(fn(spark, sf_dir)))
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "corpus_rows": n_rows,
+        "files_per_sec": files_per_sec,
+        "cpus": int(cpus),
+    }))
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

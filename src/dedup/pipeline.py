@@ -40,6 +40,32 @@ from .stages import simhash as stage_simhash
 from .stages import verify as stage_verify
 
 STAGES = ["sha256", "minhash_lsh", "simhash", "verify", "cluster"]
+
+
+def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
+    """The whole pipeline as one lazy DataFrame composition — no checkpoint
+    store (bench / ad-hoc use; the resumable path is `Pipeline.run`).
+
+    `reps` feeds three downstream consumers (MinHash, SimHash, verify), so it
+    is persisted once instead of recomputing the scan + shuffle per consumer
+    — the in-memory analogue of the store-backed pipeline materializing it.
+    """
+    hashed = stage_exact.hash_content(files)
+    reps = stage_exact.representatives(hashed).persist()
+    exact_cl = stage_exact.exact_clusters(hashed)
+    sigs = stage_minhash.signatures(reps, config)
+    e_lsh = stage_minhash.candidate_pairs(stage_minhash.band_rows(sigs), config)
+    e_sim = stage_simhash.candidate_pairs(
+        stage_simhash.simhashes(reps, config), config
+    )
+    edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
+    verified = stage_verify.verify_edges(
+        stage_verify.attach_contents(edges, reps),
+        config,
+        num_partitions=config.shuffle_partitions,
+    ).where("accepted")
+    labels, _ = stage_cluster.connected_components(verified)
+    return stage_cluster.assign_clusters(exact_cl, labels)
 _STAGE_KEY = "__stage__"  # one work unit per stage at this scale; a sharded
 # deployment uses one ledger id per partition range under the same context_id
 
