@@ -23,11 +23,13 @@ if _SRC not in sys.path:
 
 def _registry():
     from dedup.ops import (
-        dedup_queries, multimodal, relational, similarity, textops,
+        dedup_queries, ledger_queries, multimodal, relational, similarity,
+        textops,
     )
 
     merged: dict[str, tuple] = {}
-    for mod in (dedup_queries, textops, similarity, relational, multimodal):
+    for mod in (dedup_queries, textops, similarity, relational, multimodal,
+                ledger_queries):
         merged.update(mod.QUERIES)
     return merged
 

@@ -30,7 +30,13 @@ class DedupConfig:
     # --- verification ---
     lcs_min_chars: int = 60         # absolute LCS floor
     lcs_min_ratio: float = 0.25     # LCS >= ratio * min(len_a, len_b)
-    jaccard_floor: float = 0.50     # estimated-Jaccard fast-accept threshold
+    jaccard_floor: float = 0.50     # exact-Jaccard fast-accept threshold
+    # JVM-side MinHash-estimate prefilter: pairs with est J below this never
+    # reach Python verification. With num_perm=128 the estimator sd is
+    # ~sqrt(J(1-J)/128) <= 0.045, so 0.20 sits >5 sigma below a true
+    # J=0.45 (type-3) pair — recall-safe, and it prunes the noise pairs that
+    # dominate candidate sets on low-entropy corpora.
+    prefilter_min_est_jaccard: float = 0.20
     # --- skew handling ---
     bucket_cap: int = 64            # LSH bucket size above which we star-link
     max_bucket_pairs: int = 2048    # hard cap on per-bucket pair emission

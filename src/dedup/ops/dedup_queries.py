@@ -20,10 +20,14 @@ from ..stages import simhash as SS
 from ..stages import verify as SV
 from . import load_table
 
-# documents are short (50-550 chars) vs code files: smaller shingles, laxer
-# verification so the channels are exercised end-to-end on this corpus.
+# documents are short (50-550 chars) word-salad rows from a ~40-word vocab:
+# k=5 shingles make the shingle space so small that random pairs average
+# J~0.17 and the LSH banding floods with noise candidates (measured: 2.6% of
+# ALL pairs collide at b=32/r=4). k=7 pushes random pairs to J~0.07 (0.06%
+# collision) while any genuinely similar text still scores far above the
+# 0.35 floor.
 DOC_CFG = DedupConfig(
-    shingle_k=5, lcs_min_chars=30, lcs_min_ratio=0.2, jaccard_floor=0.35
+    shingle_k=7, lcs_min_chars=30, lcs_min_ratio=0.2, jaccard_floor=0.35
 )
 
 
@@ -85,12 +89,13 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup flow on documents, composed as pure DataFrame ops
     (no checkpoint store — the store-backed path is jobs/run_pipeline.py)."""
     reps = _docs_as_reps(spark, sf_dir)
-    sigs = SM.signatures(reps, DOC_CFG)
+    sigs = SM.signatures(reps, DOC_CFG).persist()
     e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
     e_sim = SS.candidate_pairs(SS.simhashes(reps, DOC_CFG), DOC_CFG)
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
+    plausible = SV.prefilter_by_est_jaccard(edges, sigs, DOC_CFG)
     verified = SV.verify_edges(
-        SV.attach_contents(edges, reps), DOC_CFG
+        SV.attach_contents(plausible.select("src", "dst"), reps), DOC_CFG
     ).where("accepted")
     labels, _ = SC.connected_components(verified)
     docs = reps.select("doc_id")

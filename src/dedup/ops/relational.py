@@ -263,8 +263,110 @@ LIMIT 20
 """
 
 
+# ----------------------------------------------------------- JSON fns
+
+def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """from_json / get_json_object coverage: parse props and aggregate the
+    extracted field (SURVEY.md section 2.2 math/array/map/JSON row)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return (
+        ev.withColumn("k", k)
+        .groupBy("event_type")
+        .agg(
+            F.sum("k").alias("sum_k"),
+            F.max("k").alias("max_k"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type,
+       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+       max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k,
+       count(*) AS n
+FROM events
+GROUP BY event_type
+"""
+
+
+# ------------------------------------------------------------- pivot
+
+def pivot_events_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupBy().pivot() — wide per-day event-type counts."""
+    ev = load_table(spark, sf_dir, "events")
+    types = ["click", "view", "purchase", "signup", "error"]
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("day"))
+        .pivot("event_type", types)
+        .count()
+        .na.fill(0, types)
+    )
+
+
+PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       count(*) FILTER (event_type = 'click')    AS click,
+       count(*) FILTER (event_type = 'view')     AS view,
+       count(*) FILTER (event_type = 'purchase') AS purchase,
+       count(*) FILTER (event_type = 'signup')   AS signup,
+       count(*) FILTER (event_type = 'error')    AS error
+FROM events
+GROUP BY 1
+"""
+
+
+# ----------------------------------------------------------- cube/rollup
+
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets over (orderstatus, orderpriority)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            _dsum("o_totalprice", "total"),
+        )
+    )
+
+
+CUBE_SQL = f"""
+SELECT o_orderstatus, o_orderpriority,
+       count(*) AS n_orders,
+       {_DSUM_SQL.format(col='o_totalprice', alias='total')}
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+# ------------------------------------------------- exact percentiles
+
+def quantiles_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated median/p90 of account balance per segment
+    (percentile in Spark == quantile_cont in DuckDB: both linear-interp)."""
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.groupBy("c_mktsegment").agg(
+        F.round(F.expr("percentile(c_acctbal, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(c_acctbal, 0.9)"), 4).alias("p90"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT c_mktsegment,
+       round(quantile_cont(c_acctbal, 0.5), 4) AS p50,
+       round(quantile_cont(c_acctbal, 0.9), 4) AS p90
+FROM customer
+GROUP BY c_mktsegment
+"""
+
+
 QUERIES = {
     "q1_pricing_summary": (q1_pricing_summary, Q1_SQL),
+    "events_json_extract": (events_json_extract, EVENTS_JSON_SQL),
+    "pivot_events_by_type": (pivot_events_by_type, PIVOT_SQL),
+    "cube_order_stats": (cube_order_stats, CUBE_SQL),
+    "quantiles_by_segment": (quantiles_by_segment, QUANTILES_SQL),
     "q3_revenue_topk": (q3_revenue_topk, Q3_SQL),
     "revenue_by_nation": (revenue_by_nation, REVENUE_BY_NATION_SQL),
     "window_top3_orders_per_cust": (window_top3_orders_per_cust, WINDOW_TOP3_SQL),

@@ -172,6 +172,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "grams", F.size("grams").alias("n_grams"))
     )
     ex = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # explicit hash partitioning on the join key: the gram rows are small so
+    # AQE would coalesce the self-join to a handful of partitions, but the
+    # join OUTPUT explodes quadratically in hot-gram bucket size — partition
+    # for the output, not the input.
+    n_parts = ex.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ex = ex.repartition(int(n_parts), "gram")
     a = ex.select(
         F.col("doc_id").alias("src"), F.col("n_grams").alias("na"), "gram"
     )

@@ -53,14 +53,15 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
     hashed = stage_exact.hash_content(files)
     reps = stage_exact.representatives(hashed).persist()
     exact_cl = stage_exact.exact_clusters(hashed)
-    sigs = stage_minhash.signatures(reps, config)
+    sigs = stage_minhash.signatures(reps, config).persist()
     e_lsh = stage_minhash.candidate_pairs(stage_minhash.band_rows(sigs), config)
     e_sim = stage_simhash.candidate_pairs(
         stage_simhash.simhashes(reps, config), config
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
+    plausible = stage_verify.prefilter_by_est_jaccard(edges, sigs, config)
     verified = stage_verify.verify_edges(
-        stage_verify.attach_contents(edges, reps),
+        stage_verify.attach_contents(plausible.select("src", "dst"), reps),
         config,
         num_partitions=config.shuffle_partitions,
     ).where("accepted")
@@ -174,8 +175,8 @@ class Pipeline:
     def _append_lineage(self, stage: str, snapshots: dict[str, str], wall: float) -> None:
         inputs = {
             t: self.store.current_snapshot(t)
-            for t in ["files", "hashed", "reps", "edges_lsh", "edges_simhash",
-                      "edges_verified"]
+            for t in ["files", "hashed", "reps", "signatures", "edges_lsh",
+                      "edges_simhash", "edges_verified"]
             if self.store.exists(t) and t not in snapshots
         }
         pdf = pd.DataFrame([
@@ -206,8 +207,15 @@ class Pipeline:
     def _stage_minhash_lsh(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
         sigs = stage_minhash.signatures(reps, self.config)
-        bands = stage_minhash.band_rows(sigs)
-        return {"edges_lsh": stage_minhash.candidate_pairs(bands, self.config)}
+        # one pandas-UDF pass; signatures table feeds the verify prefilter
+        sigs = sigs.persist()
+        out = {
+            "signatures": sigs.select("doc_id", "sig"),
+            "edges_lsh": stage_minhash.candidate_pairs(
+                stage_minhash.band_rows(sigs), self.config
+            ),
+        }
+        return out
 
     def _stage_simhash(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
@@ -216,12 +224,16 @@ class Pipeline:
 
     def _stage_verify(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
+        sigs = self.store.read(self.spark, "signatures")
         edges = (
             self.store.read(self.spark, "edges_lsh")
             .unionByName(self.store.read(self.spark, "edges_simhash"))
             .dropDuplicates(["src", "dst"])
         )
-        pairs = stage_verify.attach_contents(edges, reps)
+        plausible = stage_verify.prefilter_by_est_jaccard(
+            edges, sigs, self.config
+        )
+        pairs = stage_verify.attach_contents(plausible.select("src", "dst"), reps)
         verified = stage_verify.verify_edges(
             pairs, self.config, num_partitions=self.config.shuffle_partitions
         )

@@ -58,6 +58,10 @@ def build_session(
         .config("spark.driver.memory", driver_mem)
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # text analytics is CPU-bound per byte: smaller scan splits keep all
+        # cores busy even on modest single-file inputs (default 128m would
+        # give a 50 MB corpus a single scan partition)
+        .config("spark.sql.files.maxPartitionBytes", str(16 * 1024 * 1024))
     )
     for k, v in (extra or {}).items():
         builder = builder.config(k, v)

@@ -29,31 +29,52 @@ from ..config import DedupConfig
 from .. import kernels as K
 
 
+def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
+    """Repartition only when the input is under-split (e.g. a single small
+    parquet file -> 1 scan partition would serialize the pandas UDFs). A
+    well-partitioned input at cluster scale passes through untouched — no
+    gratuitous shuffle of fat content rows."""
+    if df.rdd.getNumPartitions() < max(2, target // 2):
+        return df.repartition(target)
+    return df
+
+
 def signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
-    """(doc_id, bands: array<long>) — one LSH band key per band.
+    """(doc_id, sig: array<long>, bands: array<long>).
 
     The UDF computes MinHash signatures for a whole Arrow batch at once
     (matrix (num_perm, n_shingles) per doc, loop only over docs in the batch)
-    and folds each band's rows into a single 64-bit key kernel-side, so the
-    shuffle that follows carries `bands` (bands x 8 bytes) instead of the full
-    signature (num_perm x 8 bytes).
+    and folds each band's rows into a single 64-bit key kernel-side. The full
+    signature is kept alongside the band keys: the verify stage uses it for a
+    JVM-side estimated-Jaccard prefilter, so candidate pairs that are noise
+    never reach Python or drag content through a shuffle.
     """
     k = config.shingle_k
     bands, rows = config.bands, config.rows_per_band
     norm = config.normalize
     a, b = K.make_minhash_coeffs(config.num_perm, config.seed)
 
-    @F.pandas_udf(T.ArrayType(T.LongType()))
-    def bands_udf(texts: pd.Series) -> pd.Series:
+    @F.pandas_udf(T.StructType([
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+    ]))
+    def sig_udf(texts: pd.Series) -> pd.DataFrame:
         sigs = K.minhash_batch(texts.tolist(), k, a, b, normalize=norm)
         bh = K.band_hashes(sigs, bands, rows)
-        return pd.Series(list(bh))
+        return pd.DataFrame(
+            {"sig": list(sigs.view(np.int64)), "bands": list(bh)}
+        )
 
-    return reps.select("doc_id", bands_udf("content").alias("bands"))
+    reps = ensure_parallelism(reps, config.shuffle_partitions)
+    return reps.select("doc_id", sig_udf("content").alias("s")).select(
+        "doc_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands")
+    )
 
 
 def band_rows(sig_df: DataFrame) -> DataFrame:
-    """Explode signatures into (doc_id, band_id, band_hash) bucket rows."""
+    """Explode band keys into (doc_id, band_id, band_hash) bucket rows.
+    The full `sig` column is deliberately NOT carried: band rows are
+    num_perm/rows_per_band per doc and feed a shuffle."""
     return sig_df.select(
         "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
     )
