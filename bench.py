@@ -64,7 +64,12 @@ def main() -> int:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     # --- north-rule workload: full pipeline over a code corpus ------------
-    n_rows = _CORPUS_ROWS.get(sf, 4000)
+    # SPARK_GRAFT_BENCH_ROWS overrides the corpus size (the scaling-evidence
+    # harness uses a compute-dominated size so parallel efficiency is
+    # measurable above the fixed per-job latency floor)
+    n_rows = int(
+        os.environ.get("SPARK_GRAFT_BENCH_ROWS", _CORPUS_ROWS.get(sf, 4000))
+    )
     corpus = generate_corpus(n_rows, seed=42)  # generation excluded from timing
     files = spark.createDataFrame(corpus.files)
     files = files.repartition(int(cpus)).persist()

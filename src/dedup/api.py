@@ -1,0 +1,155 @@
+"""Batch `protect` API — the direct graft of the reference's public surface.
+
+The reference exposes (reference Deduplication.scala:8-25,
+DeduplicationContext.scala:29-111):
+
+    Deduplication.apply(repo, config)      -> engine
+    .context[A](contextId)                 -> DeduplicationContext
+    .protect(id, fa)                       -> F[A]      run once per key
+    .protect(id, fa, onDuplicateDetected)  -> F[A]      + callback
+    .protectDetailed(id, fa)               -> F[Result[A]]  New vs Duplicate
+
+The batch equivalent memoizes a per-key computation across job runs: keys
+already completed in the ledger table replay their STORED result (never
+recomputed — DeduplicationContext.scala:163-167); new keys are claimed,
+computed via the caller's DataFrame function, and committed. TTL'd rows past
+expiry are treated as absent and recomputed (:194-202). Expressed as
+anti-join (new keys) + union (replayed results) — no per-row RPCs, one
+ledger snapshot per call.
+
+The ledger here is a TableStore parquet table `_protect_<context>` with the
+reference's 5-field envelope (id, context_id, started_at, expires_on,
+result) — the same shape FIXTURES.md section 2 specifies.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from pathlib import Path
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .config import DedupConfig
+from .storage import TableStore
+
+_LEDGER_SCHEMA = (
+    "id string, context_id string, started_at timestamp, "
+    "expires_on timestamp, result string"
+)
+
+
+class Deduplication:
+    """Engine facade (graft of Deduplication.apply, reference
+    Deduplication.scala:14-25)."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_dir: str | Path,
+        config: DedupConfig = DedupConfig(),
+    ):
+        self.spark = spark
+        self.store = TableStore(store_dir)
+        self.config = config
+
+    def context(self, context_id: str) -> "DeduplicationContext":
+        """Namespace handle — identical ids under different contexts never
+        interact (reference README.md:16-20)."""
+        return DeduplicationContext(self, context_id)
+
+
+class DeduplicationContext:
+    def __init__(self, engine: Deduplication, context_id: str):
+        self.engine = engine
+        self.context_id = context_id
+        self._table = f"_protect_{context_id}"
+
+    # -- internals ---------------------------------------------------------
+
+    def _ledger(self) -> DataFrame:
+        spark = self.engine.spark
+        if self.engine.store.exists(self._table):
+            return self.engine.store.read(spark, self._table)
+        return spark.createDataFrame([], _LEDGER_SCHEMA)
+
+    def _live_completed(self, now_epoch: float) -> DataFrame:
+        """Completed rows whose TTL has not lapsed (expired == absent,
+        reference DeduplicationContext.scala:194-202)."""
+        led = self._ledger()
+        return led.where(
+            F.col("result").isNotNull()
+            & (
+                F.col("expires_on").isNull()
+                | (F.unix_timestamp("expires_on").cast("double")
+                   >= F.lit(now_epoch))
+            )
+        )
+
+    # -- public surface ----------------------------------------------------
+
+    def protect_detailed(
+        self,
+        ids: DataFrame,
+        compute: Callable[[DataFrame], DataFrame],
+    ) -> DataFrame:
+        """Run `compute` once per NEW id; replay stored results for known ids.
+
+        ids:      DataFrame with a single `id` column (string).
+        compute:  DataFrame(id) -> DataFrame(id, result) — the batch form of
+                  the effect `fa`; invoked only on ids not yet completed.
+        returns:  DataFrame(id, result, is_duplicate) — `is_duplicate` is the
+                  Result.New / Result.Duplicate distinction (model.scala:28-37).
+        """
+        now = time.time()
+        keys = ids.select(F.col("id").cast("string").alias("id")).distinct()
+        live = self._live_completed(now).select("id", "result").persist()
+
+        replayed = (
+            keys.join(live, "id", "inner")
+            .withColumn("is_duplicate", F.lit(True))
+        )
+        new_keys = keys.join(live, "id", "left_anti")
+        computed = compute(new_keys).select(
+            F.col("id").cast("string").alias("id"),
+            F.col("result").cast("string").alias("result"),
+        ).persist()
+        computed.count()  # run the effect exactly once, before commit
+
+        # phase-2 commit: append completed rows (markAsCompleted analogue,
+        # MeteorProcessRepo.scala:46-73); snapshot replace is atomic.
+        ttl = self.engine.config.ttl_s
+        new_rows = computed.select(
+            "id",
+            F.lit(self.context_id).alias("context_id"),
+            F.timestamp_seconds(F.lit(now)).alias("started_at"),
+            (
+                F.timestamp_seconds(F.lit(now + ttl))
+                if ttl is not None else F.lit(None).cast("timestamp")
+            ).alias("expires_on"),
+            "result",
+        )
+        survivors = self._ledger().join(computed.select("id"), "id", "left_anti")
+        self.engine.store.write(
+            survivors.unionByName(new_rows), self._table
+        )
+        return computed.withColumn("is_duplicate", F.lit(False)).unionByName(
+            replayed
+        )
+
+    def protect(
+        self,
+        ids: DataFrame,
+        compute: Callable[[DataFrame], DataFrame],
+        on_duplicate_detected: Callable[[int], None] | None = None,
+    ) -> DataFrame:
+        """protect(id, fa[, onDuplicateDetected]) — returns (id, result);
+        the callback receives the duplicate COUNT (batch form of firing the
+        callback once per duplicate caller, DeduplicationSuite.scala:138-153)."""
+        detailed = self.protect_detailed(ids, compute).persist()
+        if on_duplicate_detected is not None:
+            n_dup = detailed.where("is_duplicate").count()
+            if n_dup:
+                on_duplicate_detected(n_dup)
+        return detailed.select("id", "result")

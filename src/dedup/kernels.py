@@ -88,6 +88,10 @@ def make_minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarra
     return a, b
 
 
+_MINHASH_CHUNK = 256  # shingles per block: keeps the (num_perm x chunk)
+# intermediate ~256 KB (uint64) — L2-resident, the kernel is memory-bound
+
+
 def minhash_from_hashes(
     shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
@@ -95,13 +99,21 @@ def minhash_from_hashes(
 
     sig[i] = min over shingles s of top-32-bits(a[i]*s + b[i]) — the
     multiply-shift family (Dietzfelbinger et al.), all uint64 wraparound.
-    Matrix shape (num_perm, n_shingles): vectorized over both axes.
+    Processed in shingle blocks with a running minimum so the intermediate
+    matrix stays cache-resident instead of streaming num_perm x n_shingles
+    through memory.
     """
     if shingle_hashes.size == 0:
         return np.full(a.size, MAX_HASH_32, dtype=np.uint64)
+    acc = np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
+    a2 = a[:, None]
+    b2 = b[:, None]
     with _wrap:
-        prod = a[:, None] * shingle_hashes[None, :] + b[:, None]
-    return (prod >> np.uint64(32)).min(axis=1)
+        for i in range(0, shingle_hashes.size, _MINHASH_CHUNK):
+            chunk = shingle_hashes[i:i + _MINHASH_CHUNK]
+            prod = a2 * chunk[None, :] + b2
+            np.minimum(acc, (prod >> np.uint64(32)).min(axis=1), out=acc)
+    return acc
 
 
 def minhash_batch(
@@ -163,15 +175,21 @@ def jaccard_shingles(text_a: str, text_b: str, k: int, normalize: bool = True) -
 # ---------------------------------------------------------------------------
 
 def simhash64(shingle_hashes: np.ndarray) -> np.int64:
-    """64-bit SimHash of one shingle-hash set (majority vote per bit)."""
+    """64-bit SimHash of one shingle-hash set (majority vote per bit).
+
+    Bit expansion via np.unpackbits over the little-endian byte view —
+    (n, 64) uint8 instead of an (n, 64) uint64 matrix: 8x less memory
+    traffic on the dominant step.
+    """
     if shingle_hashes.size == 0:
         return np.int64(0)
-    bits = (shingle_hashes[:, None] >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-    counts = bits.sum(axis=0)
-    vec = (counts * 2 >= shingle_hashes.size).astype(np.uint64)
-    with _wrap:
-        packed = (vec << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64)
-    return np.array([packed], dtype=np.uint64).view(np.int64)[0]
+    n = shingle_hashes.size
+    bytes_le = shingle_hashes.astype("<u8").view(np.uint8).reshape(n, 8)
+    bits = np.unpackbits(bytes_le, axis=1, bitorder="little")  # (n, 64)
+    counts = bits.sum(axis=0, dtype=np.int64)
+    vec = (counts * 2 >= n).astype(np.uint8)
+    packed_bytes = np.packbits(vec, bitorder="little")  # 8 bytes
+    return packed_bytes.view("<u8").astype(np.uint64).view(np.int64)[0]
 
 
 def simhash_batch(

@@ -93,9 +93,8 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
     e_sim = SS.candidate_pairs(SS.simhashes(reps, DOC_CFG), DOC_CFG)
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
-    plausible = SV.prefilter_by_est_jaccard(edges, sigs, DOC_CFG)
     verified = SV.verify_edges(
-        SV.attach_contents(plausible.select("src", "dst"), reps), DOC_CFG
+        SV.prepare_pairs(edges, reps, sigs, DOC_CFG), DOC_CFG
     ).where("accepted")
     labels, _ = SC.connected_components(verified)
     docs = reps.select("doc_id")

@@ -59,9 +59,8 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
         stage_simhash.simhashes(reps, config), config
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
-    plausible = stage_verify.prefilter_by_est_jaccard(edges, sigs, config)
     verified = stage_verify.verify_edges(
-        stage_verify.attach_contents(plausible.select("src", "dst"), reps),
+        stage_verify.prepare_pairs(edges, reps, sigs, config),
         config,
         num_partitions=config.shuffle_partitions,
     ).where("accepted")
@@ -230,10 +229,7 @@ class Pipeline:
             .unionByName(self.store.read(self.spark, "edges_simhash"))
             .dropDuplicates(["src", "dst"])
         )
-        plausible = stage_verify.prefilter_by_est_jaccard(
-            edges, sigs, self.config
-        )
-        pairs = stage_verify.attach_contents(plausible.select("src", "dst"), reps)
+        pairs = stage_verify.prepare_pairs(edges, reps, sigs, self.config)
         verified = stage_verify.verify_edges(
             pairs, self.config, num_partitions=self.config.shuffle_partitions
         )

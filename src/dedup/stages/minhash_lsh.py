@@ -21,7 +21,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -80,31 +80,74 @@ def band_rows(sig_df: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(bands_df: DataFrame, config: DedupConfig) -> DataFrame:
-    """Candidate edges (src < dst) from LSH buckets, skew-capped.
+def pairs_from_buckets(
+    rows: DataFrame,
+    key_cols: list[str],
+    config: DedupConfig,
+    payload_col: str | None = None,
+) -> DataFrame:
+    """Candidate edges (src < dst) from equi-key buckets, skew-capped.
 
-    - buckets of size 2..bucket_cap: all-pairs via self-equi-join on
-      (band_id, band_hash) with doc_id< predicate,
-    - buckets larger than bucket_cap: star edges to the bucket min
-      (linear; keeps the bucket connected without the quadratic join).
+    Shared by the LSH and SimHash channels. Physical design (the reason this
+    is NOT a window + self-join):
+
+    1. bucket sizes + pivot via groupBy agg — partial (map-side) aggregation,
+       so the shuffle carries one row per distinct bucket, not per member;
+    2. one join of the bucket rows against the (size, pivot) table — the
+       join's hash partitioning on the bucket key is then REUSED by the
+       groupBy below (no extra shuffle, no per-partition window sort);
+    3. buckets of size 2..bucket_cap expand to all pairs INSIDE an array
+       expression (collect_list bounded by the cap, then a nested transform
+       — whole-stage codegen, no join that recomputes its input);
+    4. buckets above the cap emit linear star edges to the bucket pivot via
+       plain projection — no collect of unbounded member lists, so a
+       million-member boilerplate bucket streams through without memory risk.
+
+    Output: (src, dst, payload_src, payload_dst); payload defaults to 0L.
     """
-    w = Window.partitionBy("band_id", "band_hash")
-    sized = (
-        bands_df
-        .withColumn("bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("bsz") >= 2)
+    payload = F.col(payload_col) if payload_col else F.lit(0).cast("long")
+    rows = rows.select(
+        *key_cols,
+        F.struct(F.col("doc_id").alias("d"), payload.alias("p")).alias("m"),
     )
-    small = sized.where(F.col("bsz") <= config.bucket_cap).drop("bsz")
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = (
-        a.join(b, ["band_id", "band_hash"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst"))
+    buckets = rows.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("m").alias("pivot")
+    ).where(F.col("bsz") >= 2)
+    joined = rows.join(buckets, key_cols)
+
+    small_pairs = (
+        joined.where(F.col("bsz") <= config.bucket_cap)
+        .groupBy(*key_cols)
+        .agg(F.array_sort(F.collect_list("m")).alias("ms"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(sequence(0, size(ms)-2), i -> "
+                    "transform(slice(ms, i+2, size(ms)-i-1), y -> "
+                    "struct(ms[i].d AS src, y.d AS dst, "
+                    "ms[i].p AS payload_src, y.p AS payload_dst))))"
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst", "e.payload_src", "e.payload_dst")
     )
-    big = sized.where(F.col("bsz") > config.bucket_cap)
-    pairs_big = (
-        big.withColumn("pivot", F.min("doc_id").over(w))
-        .where(F.col("doc_id") != F.col("pivot"))
-        .select(F.col("pivot").alias("src"), F.col("doc_id").alias("dst"))
+    big_pairs = (
+        joined.where(
+            (F.col("bsz") > config.bucket_cap)
+            & (F.col("m.d") != F.col("pivot.d"))
+        )
+        .select(
+            F.col("pivot.d").alias("src"),
+            F.col("m.d").alias("dst"),
+            F.col("pivot.p").alias("payload_src"),
+            F.col("m.p").alias("payload_dst"),
+        )
     )
-    return pairs_small.unionByName(pairs_big).dropDuplicates(["src", "dst"])
+    return small_pairs.unionByName(big_pairs).dropDuplicates(["src", "dst"])
+
+
+def candidate_pairs(bands_df: DataFrame, config: DedupConfig) -> DataFrame:
+    """LSH candidate edges (src < dst), skew-capped (see pairs_from_buckets)."""
+    return pairs_from_buckets(
+        bands_df, ["band_id", "band_hash"], config
+    ).select("src", "dst")

@@ -20,7 +20,7 @@ near-identical, so pivot edges pass).
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -52,46 +52,25 @@ def simhashes(reps: DataFrame, config: DedupConfig) -> DataFrame:
 
 
 def candidate_pairs(simhash_df: DataFrame, config: DedupConfig) -> DataFrame:
-    """Candidate edges (src < dst) within the Hamming ball, skew-capped."""
+    """Candidate edges (src < dst) within the Hamming ball, skew-capped.
+
+    Bucket-pair generation is shared with the LSH channel
+    (minhash_lsh.pairs_from_buckets); the simhash value rides along as the
+    bucket payload so the JVM popcount filter needs no extra join.
+    """
+    from .minhash_lsh import pairs_from_buckets
+
     block_rows = simhash_df.select(
         "doc_id", "simhash", F.posexplode("blocks").alias("block_id", "block_val")
     )
-    w = Window.partitionBy("block_id", "block_val")
-    sized = (
-        block_rows
-        .withColumn("bsz", F.count(F.lit(1)).over(w))
-        .where(F.col("bsz") >= 2)
+    pairs = pairs_from_buckets(
+        block_rows, ["block_id", "block_val"], config, payload_col="simhash"
     )
-    small = sized.where(F.col("bsz") <= config.bucket_cap).drop("bsz")
-    a, b = small.alias("a"), small.alias("b")
-    pairs_small = (
-        a.join(b, ["block_id", "block_val"])
-        .where(F.col("a.doc_id") < F.col("b.doc_id"))
-        .select(
-            F.col("a.doc_id").alias("src"),
-            F.col("b.doc_id").alias("dst"),
-            F.col("a.simhash").alias("sim_src"),
-            F.col("b.simhash").alias("sim_dst"),
+    return (
+        pairs.where(
+            F.expr(
+                f"bit_count(payload_src ^ payload_dst) <= {config.hamming_radius}"
+            )
         )
+        .select("src", "dst")
     )
-    big = sized.where(F.col("bsz") > config.bucket_cap)
-    wp = Window.partitionBy("block_id", "block_val")
-    pivots = (
-        big.withColumn("pivot", F.min("doc_id").over(wp))
-        .withColumn(
-            "pivot_sim",
-            F.min(F.struct("doc_id", "simhash")).over(wp)["simhash"],
-        )
-        .where(F.col("doc_id") != F.col("pivot"))
-        .select(
-            F.col("pivot").alias("src"),
-            F.col("doc_id").alias("dst"),
-            F.col("pivot_sim").alias("sim_src"),
-            F.col("simhash").alias("sim_dst"),
-        )
-    )
-    all_pairs = pairs_small.unionByName(pivots)
-    within = all_pairs.where(
-        F.expr(f"bit_count(sim_src ^ sim_dst) <= {config.hamming_radius}")
-    )
-    return within.select("src", "dst").dropDuplicates(["src", "dst"])

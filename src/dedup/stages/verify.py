@@ -40,6 +40,49 @@ _OUT_SCHEMA = (
 _LCS_GATE = 0.10
 
 
+def prepare_pairs(
+    edges: DataFrame, reps: DataFrame, sig_df: DataFrame, config: DedupConfig
+) -> DataFrame:
+    """One enriched join pass: attach (sig, content) per side, compute the
+    JVM estimated Jaccard, and keep only plausible pairs with their contents
+    — (src, dst, est_jaccard, content_src, content_dst).
+
+    Each side is ONE shuffle join against reps+sigs merged (content and
+    signature travel together), instead of separate prefilter and
+    attach-content join rounds. The est filter runs before the second join's
+    output materializes downstream, so hopeless pairs never carry two
+    contents into the verify exchange.
+    """
+    enriched = reps.select("doc_id", "content").join(
+        sig_df.select("doc_id", "sig"), "doc_id"
+    )
+    n = float(config.num_perm)
+    est = (
+        F.aggregate(
+            F.zip_with("sig_src", "sig_dst", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double") / F.lit(n)
+    )
+    src_side = enriched.select(
+        F.col("doc_id").alias("src"),
+        F.col("content").alias("content_src"),
+        F.col("sig").alias("sig_src"),
+    )
+    dst_side = enriched.select(
+        F.col("doc_id").alias("dst"),
+        F.col("content").alias("content_dst"),
+        F.col("sig").alias("sig_dst"),
+    )
+    return (
+        edges.join(src_side, "src")
+        .join(dst_side, "dst")
+        .withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= config.prefilter_min_est_jaccard)
+        .select("src", "dst", "est_jaccard", "content_src", "content_dst")
+    )
+
+
 def prefilter_by_est_jaccard(
     edges: DataFrame, sig_df: DataFrame, config: DedupConfig
 ) -> DataFrame:
