@@ -34,6 +34,9 @@ def run_bench(sf_dir: str, cpus: int, rows: int) -> dict:
     env["SPARK_GRAFT_SF_DIR"] = sf_dir
     env["SPARK_GRAFT_CPUS"] = str(cpus)
     env["SPARK_GRAFT_BENCH_ROWS"] = str(rows)
+    env["SPARK_GRAFT_BENCH_ONLY"] = "pipeline"  # scaling metric = the pipeline
+    env["SPARK_GRAFT_BENCH_LINE_SCALE"] = "3"   # longer files: more compute
+    # per file at the SAME corpus pair structure (see corpus.line_scale)
     out = subprocess.run(
         [sys.executable, str(REPO / "bench.py")],
         env=env, capture_output=True, text=True, timeout=3600,
@@ -46,7 +49,7 @@ def run_bench(sf_dir: str, cpus: int, rows: int) -> dict:
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
-    ap.add_argument("--rows", type=int, default=150_000)
+    ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
     args = ap.parse_args()
 

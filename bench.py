@@ -70,7 +70,9 @@ def main() -> int:
     n_rows = int(
         os.environ.get("SPARK_GRAFT_BENCH_ROWS", _CORPUS_ROWS.get(sf, 4000))
     )
-    corpus = generate_corpus(n_rows, seed=42)  # generation excluded from timing
+    line_scale = float(os.environ.get("SPARK_GRAFT_BENCH_LINE_SCALE", "1"))
+    corpus = generate_corpus(n_rows, seed=42, line_scale=line_scale)
+    # generation excluded from timing
     files = spark.createDataFrame(corpus.files)
     files = files.repartition(int(cpus)).persist()
     files.count()
@@ -79,6 +81,21 @@ def main() -> int:
         run_dataframe_pipeline(files, config)
     ))
     files_per_sec = round(n_rows / timings["pipeline_code_corpus"], 1)
+
+    # pipeline-only mode (scaling harness): skip the operator queries
+    if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline":
+        print(json.dumps({
+            "metric": "pipeline_code_corpus",
+            "value": timings["pipeline_code_corpus"],
+            "unit": "sec",
+            "queries": timings,
+            "sf": sf,
+            "corpus_rows": n_rows,
+            "files_per_sec": files_per_sec,
+            "cpus": int(cpus),
+        }))
+        spark.stop()
+        return 0
 
     # --- documents near-dup + operator queries ----------------------------
     q = {}

@@ -44,11 +44,18 @@ def _ident(rng: random.Random, vocab: list[str]) -> str:
     return rng.choice(vocab)
 
 
-def _make_vocab(rng: random.Random, size: int = 40) -> list[str]:
+def _make_vocab(rng: random.Random, size: int = 240) -> list[str]:
+    """Per-repo identifier vocabulary. Size and numeric-suffix range are
+    chosen so that two UNRELATED files share few 9-char shingles even when
+    long: with a small vocab, same-grammar documents converge to a constant
+    Jaccard as length grows and flood LSH with noise candidates (measured:
+    3x-longer files at 40-identifier vocab produced millions of candidate
+    pairs). Clone variants copy base content verbatim, so planted-pair
+    similarity is unaffected."""
     out = []
     for _ in range(size):
         a, b = rng.choice(_WORDS), rng.choice(_WORDS)
-        out.append(f"{a}_{b}{rng.randrange(100)}")
+        out.append(f"{a}_{b}{rng.randrange(100000)}")
     return out
 
 
@@ -61,12 +68,12 @@ def _gen_line(rng: random.Random, lang: str, vocab: list[str]) -> str:
         return f"{rng.choice(kw)} {_ident(rng, vocab)}({_ident(rng, vocab)}, {_ident(rng, vocab)}):"
     if kind < 0.55:
         op = rng.choice(["+", "-", "*", "%", "//"])
-        return f"    {_ident(rng, vocab)} = {_ident(rng, vocab)} {op} {rng.randrange(1000)}"
+        return f"    {_ident(rng, vocab)} = {_ident(rng, vocab)} {op} {rng.randrange(1000000)}"
     if kind < 0.72:
-        return f"    {rng.choice(kw)} {_ident(rng, vocab)} {rng.choice(['<', '>', '==', '!='])} {rng.randrange(100)}:"
+        return f"    {rng.choice(kw)} {_ident(rng, vocab)} {rng.choice(['<', '>', '==', '!='])} {rng.randrange(100000)}:"
     if kind < 0.86:
-        return f"        {rng.choice(kw)} {_ident(rng, vocab)}.{_ident(rng, vocab)}({rng.randrange(50)})"
-    return f"    {_ident(rng, vocab)}[{rng.randrange(20)}] = \"{rng.choice(_WORDS)}-{rng.randrange(10000)}\""
+        return f"        {rng.choice(kw)} {_ident(rng, vocab)}.{_ident(rng, vocab)}({rng.randrange(50000)})"
+    return f"    {_ident(rng, vocab)}[{rng.randrange(20)}] = \"{rng.choice(_WORDS)}-{rng.randrange(1000000)}\""
 
 
 def _gen_file(rng: random.Random, lang: str, vocab: list[str], n_lines: int) -> str:
@@ -154,7 +161,11 @@ class Corpus:
 
 
 def generate_corpus(n_rows: int = 2000, seed: int = 42,
-                    boilerplate_members: int | None = None) -> Corpus:
+                    boilerplate_members: int | None = None,
+                    line_scale: float = 1.0) -> Corpus:
+    """line_scale multiplies per-file line counts (content stays capped at
+    8000 chars): scaling benchmarks raise it to grow per-file compute without
+    changing the pair structure of the corpus."""
     rng = random.Random(seed)
     n_exact = int(n_rows * 0.10)
     n_type2 = int(n_rows * 0.10)
@@ -185,7 +196,9 @@ def generate_corpus(n_rows: int = 2000, seed: int = 42,
     def new_base(min_lines: int = 8, max_lines: int = 80) -> tuple[str, str, list[str]]:
         lang = rng.choice(_LANGS)
         vocab = vocabs[rng.randrange(7)]
-        n_lines = rng.randrange(min_lines, max_lines)
+        n_lines = rng.randrange(
+            max(2, int(min_lines * line_scale)), int(max_lines * line_scale) + 2
+        )
         content = _gen_file(rng, lang, vocab, n_lines)
         # clamp to FIXTURES length band 200..8000 chars
         while len(content) < 200:

@@ -63,7 +63,7 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
         stage_verify.prepare_pairs(edges, reps, sigs, config),
         config,
         num_partitions=config.shuffle_partitions,
-    ).where("accepted")
+    ).where("accepted").persist()
     labels, _ = stage_cluster.connected_components(verified)
     return stage_cluster.assign_clusters(exact_cl, labels)
 _STAGE_KEY = "__stage__"  # one work unit per stage at this scale; a sharded

@@ -77,6 +77,10 @@ def connected_components(
     `edges` needs columns (src, dst); isolated vertices are the caller's
     concern (left-join + coalesce to self).
     """
+    # The initial eager checkpoint is LOAD-BEARING, not overhead: the star
+    # transforms reference their input twice (symmetrize = input union
+    # swapped-input), so an unmaterialized upstream DAG — e.g. the whole
+    # UDF-heavy verify pipeline — would recompute per reference, per round.
     cur = _canon(
         edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
     ).localCheckpoint(eager=True)
