@@ -142,17 +142,37 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
     lcs_ratio = config.lcs_min_ratio
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
         for pdf in batches:
             n = len(pdf)
             jac = [0.0] * n
             lcs = [0] * n
             ok = [False] * n
+            # Per-batch memo: a doc (esp. a star pivot) appears in many
+            # pairs; normalize + shingle it once. Range partitioning on
+            # (src, dst) below gives same-src runs, so hit rates are high.
+            texts: dict[int, str] = {}
+            shingle_sets: dict[int, "np.ndarray"] = {}
+
+            def prep(doc_id: int, raw: str) -> tuple[str, "np.ndarray"]:
+                t = texts.get(doc_id)
+                if t is None:
+                    t = K.normalize_text(raw) if norm else raw
+                    texts[doc_id] = t
+                    shingle_sets[doc_id] = K.char_shingle_hashes(t, k)
+                return t, shingle_sets[doc_id]
+
+            src_ids = pdf["src"].to_numpy()
+            dst_ids = pdf["dst"].to_numpy()
             for i in range(n):
-                ca = pdf["content_src"].iat[i]
-                cb = pdf["content_dst"].iat[i]
-                if norm:
-                    ca, cb = K.normalize_text(ca), K.normalize_text(cb)
-                j = K.jaccard_shingles(ca, cb, k, normalize=False)
+                ca, sa = prep(src_ids[i], pdf["content_src"].iat[i])
+                cb, sb = prep(dst_ids[i], pdf["content_dst"].iat[i])
+                if sa.size == 0 and sb.size == 0:
+                    j = 1.0
+                else:
+                    inter = np.intersect1d(sa, sb, assume_unique=True).size
+                    j = inter / float(sa.size + sb.size - inter)
                 jac[i] = j
                 if j >= floor:
                     ok[i] = True
@@ -170,5 +190,7 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
 
     df = pairs_with_content
     if num_partitions:
-        df = df.repartition(num_partitions, "src", "dst")
+        # range partitioning (not hash): pairs sort by (src, dst), so all of
+        # a pivot's edges land contiguously and the per-batch memo hits
+        df = df.repartitionByRange(num_partitions, "src", "dst")
     return df.mapInPandas(_verify, _OUT_SCHEMA)

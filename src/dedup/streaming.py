@@ -44,6 +44,82 @@ def protect_stream(
     )
 
 
+def protect_stream_stateful(
+    events: DataFrame,
+    id_col: str = "event_id",
+    context_col: str = "event_type",
+    ts_col: str = "ts",
+    completion_col: str = "is_completion",
+    max_processing_time_s: float = 3600.0,
+) -> DataFrame:
+    """Full keyed-idempotency state machine as a stateful streaming operator.
+
+    The complete graft of the reference's protect lifecycle
+    (DeduplicationContext.scala:113-216) onto applyInPandasWithState: per
+    (id, context) key the state is (started_at, completed) and each arriving
+    attempt is classified with the reference's precedence:
+
+      no state                         -> 'new'        (claim + run)
+      state.completed                  -> 'duplicate'  (stored result replay)
+      ts - started_at > maxProcessing  -> 'takeover'   (stale claim, re-run)
+      otherwise                        -> 'running'    (a peer holds the claim)
+
+    Events with `completion_col` true mark the key completed ('completed'
+    decision) — the markAsCompleted phase-2 commit (MeteorProcessRepo.scala:46-73).
+    Output: (id, context, ts, decision).
+    """
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def classify(key, pdfs, state: "GroupState"):
+        import pandas as pd  # noqa: PLC0415 — executor-side import
+
+        if state.exists:
+            started_at, completed = state.get
+        else:
+            started_at, completed = None, False
+        out = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(ts_col)
+            for _, row in pdf.iterrows():
+                ts = row[ts_col]
+                epoch = ts.timestamp()
+                if row[completion_col]:
+                    completed = True
+                    if started_at is None:
+                        started_at = epoch
+                    decision = "completed"
+                elif started_at is None:
+                    started_at = epoch
+                    decision = "new"
+                elif completed:
+                    decision = "duplicate"
+                elif epoch - started_at > max_processing_time_s:
+                    started_at = epoch  # CAS takeover resets the claim
+                    decision = "takeover"
+                else:
+                    decision = "running"
+                out.append((key[0], key[1], ts, decision))
+        state.update((started_at, completed))
+        yield pd.DataFrame(out, columns=["id", "context", "ts", "decision"])
+
+    return (
+        events.select(
+            F.col(id_col).cast("long").alias("id"),
+            F.col(context_col).alias("context"),
+            F.col(ts_col).alias(ts_col),
+            F.col(completion_col).cast("boolean").alias(completion_col),
+        )
+        .groupBy("id", "context")
+        .applyInPandasWithState(
+            classify,
+            outputStructType="id long, context string, ts timestamp, decision string",
+            stateStructType="started_at double, completed boolean",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def duplicate_counts_stream(
     events: DataFrame,
     id_col: str = "event_id",

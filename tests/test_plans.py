@@ -1,0 +1,82 @@
+"""Physical-plan audits: the plans we'd want at 100 TB, asserted at test scale.
+
+Catalyst decisions are scale-dependent (AQE, broadcast thresholds), so these
+assert structural properties that hold at any scale: pushdown reaching the
+scan, no cartesian products, partial aggregation before bucket shuffles,
+codegen in the hot expressions.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from dedup.config import DedupConfig
+from dedup.corpus import generate_corpus
+from dedup.pipeline import run_dataframe_pipeline
+from dedup.stages import exact as SE, minhash_lsh as SM
+
+CFG = DedupConfig(shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def files(spark, tmp_path_factory):
+    # go through parquet so scan-level assertions (pushdown, pruning) apply
+    d = tmp_path_factory.mktemp("plans") / "files"
+    corpus = generate_corpus(300, seed=42)
+    spark.createDataFrame(corpus.files).write.parquet(str(d))
+    return spark.read.parquet(str(d))
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_pipeline_has_no_cartesian_product(spark, files):
+    plan = _plan(run_dataframe_pipeline(files, CFG))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_column_pruning_after_hash(spark, files):
+    """exact_clusters must not drag `content` through its shuffle — only
+    (doc_id, sha) reach the aggregation."""
+    plan = _plan(SE.exact_clusters(SE.hash_content(files)))
+    # the scan beneath the agg must read only the natural-key + content cols
+    # needed to compute doc_id/sha; the agg exchange itself must be narrow.
+    assert "content" in plan  # hashed from the scan...
+    exchange_sections = [
+        s for s in plan.split("Exchange") if "hashpartitioning(sha" in s
+    ]
+    assert exchange_sections, "expected a hash exchange keyed on sha"
+    assert all("content" not in s.split("+- ")[0] for s in exchange_sections)
+
+
+def test_bucket_pairs_use_partial_aggregation(spark, files):
+    """The bucket-size aggregation must run partial (map-side) before its
+    exchange — the shuffle carries one row per distinct bucket."""
+    hashed = SE.hash_content(files)
+    reps = SE.representatives(hashed)
+    sigs = SM.signatures(reps, CFG)
+    plan = _plan(SM.candidate_pairs(SM.band_rows(sigs), CFG))
+    assert "partial_count" in plan or "partial count" in plan.lower()
+
+
+def test_scan_pushdown_on_filtered_read(spark, files):
+    q = files.where(F.col("lang") == "python").select("repo", "path")
+    plan = _plan(q)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan
+    assert "ReadSchema: struct<repo:string,path:string,lang:string>" in plan
+
+
+def test_whole_stage_codegen_in_status_classifier(spark):
+    from dedup.ledger import status_column
+
+    df = spark.createDataFrame(
+        [("a", "c", None, None, None)],
+        "id string, context_id string, started_at timestamp, "
+        "expires_on timestamp, result string",
+    ).withColumn("status", status_column(300.0, 0.0))
+    # '*(n)' prefixes mark operators inside a WholeStageCodegen span
+    plan = _plan(df)
+    assert "*(1) Project" in plan and "CASE WHEN" in plan

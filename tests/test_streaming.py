@@ -63,6 +63,75 @@ def test_protect_stream_first_wins(spark, stream_dir):
     assert first_click.value.iloc[0] == 10.0
 
 
+def test_protect_stream_stateful_lifecycle(spark, tmp_path):
+    """Drive the 5-state machine across MULTIPLE micro-batches (state must
+    persist between triggers): new -> running -> completed -> duplicate,
+    plus a takeover after max_processing_time."""
+    import datetime as dt
+
+    from dedup.streaming import protect_stream_stateful
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    b0 = pd.DataFrame(
+        [
+            (1, "click", base, False),                              # new
+            (1, "click", base + dt.timedelta(seconds=5), False),    # running
+        ],
+        columns=["event_id", "event_type", "ts", "is_completion"],
+    )
+    b1 = pd.DataFrame(
+        [
+            (1, "click", base + dt.timedelta(seconds=10), True),    # completed
+            (1, "click", base + dt.timedelta(seconds=20), False),   # duplicate
+            (2, "click", base + dt.timedelta(seconds=3700), False), # new key
+        ],
+        columns=["event_id", "event_type", "ts", "is_completion"],
+    )
+    b2 = pd.DataFrame(
+        [
+            # key 3: claim then silence past max_processing_time -> takeover
+            (3, "view", base, False),                               # new
+            (3, "view", base + dt.timedelta(seconds=200), False),   # takeover
+        ],
+        columns=["event_id", "event_type", "ts", "is_completion"],
+    )
+    d = tmp_path / "stateful_in"
+    d.mkdir()
+    for i, b in enumerate([b0, b1, b2]):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b.to_parquet(d / f"b{i}.parquet", index=False)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp, is_completion boolean"
+        )
+        .option("maxFilesPerTrigger", 1)  # force one micro-batch per file
+        .parquet(str(d))
+    )
+    q = (
+        protect_stream_stateful(src, max_processing_time_s=100.0)
+        .writeStream.format("memory")
+        .queryName("stateful_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT id, context, ts, decision FROM stateful_out ORDER BY id, ts"
+        ).toPandas()
+    finally:
+        q.stop()
+    decisions = list(zip(out.id, out.decision))
+    assert (1, "new") in decisions
+    assert (1, "running") in decisions
+    assert (1, "completed") in decisions
+    assert (1, "duplicate") in decisions  # across micro-batch boundary
+    assert (2, "new") in decisions
+    assert (3, "new") in decisions
+    assert (3, "takeover") in decisions
+
+
 def test_duplicate_counts_stream(spark, stream_dir):
     src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     q = (
