@@ -83,55 +83,6 @@ def prepare_pairs(
     )
 
 
-def prefilter_by_est_jaccard(
-    edges: DataFrame, sig_df: DataFrame, config: DedupConfig
-) -> DataFrame:
-    """Drop candidate pairs whose MinHash-estimated Jaccard is hopeless —
-    entirely JVM-side (zip_with + aggregate, whole-stage codegen), BEFORE
-    any content is shuffled or Python is invoked.
-
-    At scale this is the difference between verifying every LSH collision
-    (quadratic noise on boilerplate-ish corpora) and verifying only
-    statistically plausible pairs; the threshold is recall-safe by the
-    5-sigma argument in config.prefilter_min_est_jaccard.
-    """
-    sigs = sig_df.select("doc_id", "sig")
-    n = float(config.num_perm)
-    est = (
-        F.aggregate(
-            F.zip_with(
-                "sig_src", "sig_dst",
-                lambda x, y: (x == y).cast("int"),
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double") / F.lit(n)
-    )
-    return (
-        edges.join(
-            sigs.withColumnRenamed("doc_id", "src")
-                .withColumnRenamed("sig", "sig_src"), "src")
-        .join(
-            sigs.withColumnRenamed("doc_id", "dst")
-                .withColumnRenamed("sig", "sig_dst"), "dst")
-        .withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= config.prefilter_min_est_jaccard)
-        .select("src", "dst", "est_jaccard")
-    )
-
-
-def attach_contents(edges: DataFrame, reps: DataFrame) -> DataFrame:
-    """(src, dst, content_src, content_dst) via two equi-joins on doc_id."""
-    c = reps.select("doc_id", "content")
-    return (
-        edges.join(c.withColumnRenamed("doc_id", "src")
-                    .withColumnRenamed("content", "content_src"), "src")
-        .join(c.withColumnRenamed("doc_id", "dst")
-               .withColumnRenamed("content", "content_dst"), "dst")
-        .select("src", "dst", "content_src", "content_dst")
-    )
-
-
 def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                  num_partitions: int | None = None) -> DataFrame:
     """Score and filter candidate pairs; returns accepted edges with evidence."""
