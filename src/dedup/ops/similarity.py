@@ -142,7 +142,68 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_neardup_clusters(
+    spark: SparkSession, sf_dir: str, tau: float = 0.90
+) -> DataFrame:
+    """Embedding-cosine near-dup dedup: vectors within cosine >= tau form a
+    cluster (cluster_id = min vec_id of the connected component).
+
+    Scale path: hyperplane-LSH bucket candidates (multi-probe) through the
+    same skew-capped pair generator as the text channels, exact cosine only
+    on candidates, then connected components — never a quadratic scan.
+    Rows-only oracle (LSH bucketing + iterative CC are not SQL-expressible);
+    recall is asserted on planted clusters in tests.
+    """
+    from ..config import DedupConfig
+    from ..stages.cluster import connected_components
+    from ..stages.minhash_lsh import pairs_from_buckets
+
+    n_planes = 8
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def buckets_udf(vs: pd.Series) -> pd.Series:
+        rng = np.random.default_rng(42)
+        planes = rng.standard_normal((64, n_planes))
+        mat = np.stack(vs.to_numpy())
+        signs = (mat @ planes) >= 0
+        base = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
+        return pd.Series(
+            [[int(b)] + [int(b ^ (1 << i)) for i in range(n_planes)]
+             for b in base]
+        )
+
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"), vec.alias("v"),
+        buckets_udf("embedding").alias("bks"),
+    ).persist()
+    rows = base.select("doc_id", F.explode("bks").alias("bucket"))
+    pairs = pairs_from_buckets(rows, ["bucket"], DedupConfig()).select("src", "dst")
+    vecs = base.select("doc_id", "v")
+    scored = (
+        pairs.join(vecs.withColumnRenamed("doc_id", "src")
+                       .withColumnRenamed("v", "v_src"), "src")
+        .join(vecs.withColumnRenamed("doc_id", "dst")
+                  .withColumnRenamed("v", "v_dst"), "dst")
+        .withColumn("sim", _cosine(F.col("v_src"), F.col("v_dst")))
+        .where(F.col("sim") >= tau)
+        .select("src", "dst")
+    )
+    labels, _ = connected_components(scored)
+    return (
+        base.select("doc_id")
+        .join(labels, "doc_id", "left")
+        .select(
+            F.col("doc_id").alias("vec_id"),
+            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        )
+        .withColumn("is_canonical", F.col("vec_id") == F.col("cluster_id"))
+    )
+
+
 QUERIES = {
     "embedding_topk_cosine": (embedding_topk_cosine, EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, None),
+    "embedding_neardup_clusters": (embedding_neardup_clusters, None),
 }

@@ -46,6 +46,45 @@ def test_ann_lsh_recall_vs_bruteforce(spark, tmp_path):
     assert recall >= 0.7, f"ANN recall too low: {recall:.3f}"
 
 
+def test_embedding_neardup_clusters_planted(spark, tmp_path):
+    """Planted near-identical vector pairs must cluster; distant vectors
+    must stay singletons."""
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(11)
+    rows = []
+    vid = 0
+    truth_pairs = []
+    for _ in range(30):
+        v = rng.standard_normal(64)
+        v /= np.linalg.norm(v)
+        near = v + 0.02 * rng.standard_normal(64)
+        near /= np.linalg.norm(near)
+        rows.append((vid, v.astype(np.float32).tolist(), 0))
+        rows.append((vid + 1, near.astype(np.float32).tolist(), 0))
+        truth_pairs.append((vid, vid + 1))
+        vid += 2
+    for _ in range(60):  # unrelated singletons
+        v = rng.standard_normal(64)
+        rows.append((vid, (v / np.linalg.norm(v)).astype(np.float32).tolist(), 1))
+        vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    d = tmp_path / "nd"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet", index=False)
+
+    from dedup.ops.similarity import embedding_neardup_clusters
+
+    out = embedding_neardup_clusters(spark, str(d)).toPandas()
+    cl = dict(zip(out.vec_id, out.cluster_id))
+    clustered = sum(cl[a] == cl[b] for a, b in truth_pairs)
+    assert clustered >= 0.8 * len(truth_pairs), f"{clustered}/{len(truth_pairs)}"
+    # singletons stay alone
+    singles = out[out.vec_id >= 60]
+    assert (singles.vec_id == singles.cluster_id).mean() > 0.95
+
+
 def test_revenue_by_nation_broadcasts_dims(spark):
     """The small dims must be broadcast, not shuffled (SURVEY.md section 2.2)."""
     from dedup.ops.relational import revenue_by_nation
