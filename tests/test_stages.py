@@ -122,6 +122,46 @@ def test_lsh_candidates_cover_high_jaccard_pairs(spark, reps, corpus):
     assert missing <= max(1, int(0.01 * total)), f"missing {missing}/{total}"
 
 
+def test_pairs_from_buckets_matches_oracle(spark):
+    """The in-array pair expansion + star capping must equal the brute-force
+    definition: all pairs for buckets of 2..cap, star-to-min above cap."""
+    import random
+
+    rng = random.Random(3)
+    cap = 5
+    cfg = DedupConfig(bucket_cap=cap, shuffle_partitions=8)
+    rows = []
+    for bucket in range(40):
+        size = rng.choice([1, 2, 3, 5, 6, 9, 17])
+        members = rng.sample(range(10000), size)
+        for m in members:
+            rows.append((bucket, m, m * 7))  # payload = 7*doc_id
+    df = spark.createDataFrame(rows, "bucket long, doc_id long, payload long")
+
+    got = {
+        (r["src"], r["dst"], r["payload_src"], r["payload_dst"])
+        for r in SM.pairs_from_buckets(df, ["bucket"], cfg, "payload").collect()
+    }
+
+    expect = set()
+    by_bucket: dict[int, list[int]] = {}
+    for bucket, m, _ in rows:
+        by_bucket.setdefault(bucket, []).append(m)
+    for members in by_bucket.values():
+        ms = sorted(members)
+        if len(ms) < 2:
+            continue
+        if len(ms) <= cap:
+            for i in range(len(ms)):
+                for j in range(i + 1, len(ms)):
+                    expect.add((ms[i], ms[j], ms[i] * 7, ms[j] * 7))
+        else:
+            pivot = ms[0]
+            for m in ms[1:]:
+                expect.add((pivot, m, pivot * 7, m * 7))
+    assert got == expect
+
+
 def test_mega_bucket_star_capped(spark, reps):
     """Boilerplate family must produce linear (not quadratic) edges."""
     cfg = DedupConfig(bucket_cap=8, shuffle_partitions=8)
