@@ -97,7 +97,11 @@ class Pipeline:
     def run(self, files: DataFrame, resume: bool = True) -> DataFrame:
         """Run all stages over `files(repo, path, commit, lang, content)`;
         returns the final clusters DataFrame."""
-        if not self.store.exists("files"):
+        # The committed `files` snapshot is the pipeline's input of record: a
+        # resumed run MUST see the exact bytes the original run saw (stages
+        # are pure functions of (input snapshot, config) — SURVEY.md 2.3).
+        # resume=False always re-snapshots; a fresh work_dir snapshots once.
+        if not resume or not self.store.exists("files"):
             self.store.write(files, "files")
         self._stage("sha256", self._stage_sha256, resume)
         self._stage("minhash_lsh", self._stage_minhash_lsh, resume)
