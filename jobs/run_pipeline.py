@@ -28,6 +28,9 @@ def main() -> int:
                                      "(repo, path, commit, lang, content)")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="generate an N-row planted-clone corpus instead")
+    src.add_argument("--ingest", metavar="PARQUET",
+                     help="incrementally cluster a NEW batch (parquet, same "
+                          "columns) against an existing --work-dir index")
     ap.add_argument("--work-dir", required=True,
                     help="checkpoint/output root (ledger + snapshot tables)")
     ap.add_argument("--seed", type=int, default=42)
@@ -55,6 +58,22 @@ def main() -> int:
 
     spark = build_session("dedup-pipeline", master=args.master, config=config)
     t0 = time.time()
+    if args.ingest:
+        pipe = Pipeline(spark, config, args.work_dir)
+        batch = spark.read.parquet(args.ingest)
+        n_batch = batch.count()
+        clusters = pipe.ingest(batch)
+        wall = time.time() - t0
+        print(json.dumps({
+            "mode": "ingest",
+            "batch_files": n_batch,
+            "docs_total": clusters.count(),
+            "clusters": clusters.select("cluster_id").distinct().count(),
+            "wall_s": round(wall, 2),
+            "work_dir": str(args.work_dir),
+        }))
+        spark.stop()
+        return 0
     if args.synthetic:
         from dedup.corpus import generate_corpus
 

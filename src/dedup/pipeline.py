@@ -110,6 +110,14 @@ class Pipeline:
         self._stage("cluster", self._stage_cluster, resume)
         return self.store.read(self.spark, "clusters")
 
+    def ingest(self, new_files: DataFrame) -> DataFrame:
+        """Incrementally cluster a new batch against the committed index —
+        no recompute of previously ingested docs. See incremental.ingest_batch."""
+        from .incremental import ingest_batch
+
+        return ingest_batch(self.spark, self.config, self.store, self.ledger,
+                            new_files)
+
     # ----------------------------------------------------------- protocol
 
     def _stage(self, name: str, fn, resume: bool) -> None:
@@ -210,10 +218,12 @@ class Pipeline:
     def _stage_minhash_lsh(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
         sigs = stage_minhash.signatures(reps, self.config)
-        # one pandas-UDF pass; signatures table feeds the verify prefilter
+        # one pandas-UDF pass; `signatures` feeds the verify prefilter and
+        # `bands` IS the persistent LSH index (incremental batches probe it)
         sigs = sigs.persist()
         out = {
             "signatures": sigs.select("doc_id", "sig"),
+            "bands": stage_minhash.band_rows(sigs),
             "edges_lsh": stage_minhash.candidate_pairs(
                 stage_minhash.band_rows(sigs), self.config
             ),
@@ -222,8 +232,11 @@ class Pipeline:
 
     def _stage_simhash(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
-        sh = stage_simhash.simhashes(reps, self.config)
-        return {"edges_simhash": stage_simhash.candidate_pairs(sh, self.config)}
+        sh = stage_simhash.simhashes(reps, self.config).persist()
+        return {
+            "simhashes": sh,  # persistent Hamming-block index for increments
+            "edges_simhash": stage_simhash.candidate_pairs(sh, self.config),
+        }
 
     def _stage_verify(self) -> dict[str, DataFrame]:
         reps = self.store.read(self.spark, "reps")
