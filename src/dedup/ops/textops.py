@@ -226,8 +226,39 @@ WHERE floor((cast(shared as double) / (na + nb - shared)) * 10000 + 0.5) / 10000
 """
 
 
+def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language length z-scores via applyInPandas (grouped-map UDF
+    surface, SURVEY.md section 2.2 UDF row) — the oracle is the equivalent
+    window aggregation, proving the grouped-map path agrees with native SQL."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+
+    def _z(pdf):
+        mu = pdf.n_chars.mean()
+        sd = pdf.n_chars.std(ddof=1)
+        z = (pdf.n_chars - mu) / sd if sd and sd > 0 else pdf.n_chars * 0.0
+        import numpy as np
+
+        return pdf.assign(zscore=np.floor(z * 10000 + 0.5) / 10000)[
+            ["doc_id", "lang", "zscore"]
+        ]
+
+    return docs.groupBy("lang").applyInPandas(
+        _z, "doc_id long, lang string, zscore double"
+    )
+
+
+DOC_ZSCORE_SQL = """
+SELECT doc_id, lang,
+       floor(((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+              / stddev_samp(n_chars) OVER (PARTITION BY lang)) * 10000 + 0.5)
+       / 10000 AS zscore
+FROM documents
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_zscore_by_lang": (doc_zscore_by_lang, DOC_ZSCORE_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),
     "doc_fingerprint": (doc_fingerprint, DOC_FINGERPRINT_SQL),

@@ -207,6 +207,29 @@ def test_lcs_matches_naive_unicode(a, b):
     assert K.longest_common_substring(a, b) == K.lcs_naive(a, b)
 
 
+def test_prefilter_threshold_recall_safe():
+    """The verify stage drops pairs with MinHash-estimated J < 0.20 before
+    content verification (config.prefilter_min_est_jaccard). Property: for
+    pairs at true J >= 0.45 (the weakest planted type-3 grade), the estimate
+    at num_perm=128 essentially never falls below 0.20."""
+    rng = random.Random(99)
+    a, b = K.make_minhash_coeffs(128, 42)
+    worst = 1.0
+    for trial in range(60):
+        base = _rand_text(rng, 3000)
+        # construct a pair with true J ~ 0.45-0.60: replace a block
+        cut = len(base) // 3
+        other = base[:2 * cut] + _rand_text(rng, cut)
+        tj = K.jaccard_shingles(base, other, 9, normalize=False)
+        if not 0.40 <= tj <= 0.75:
+            continue
+        sigs = K.minhash_batch([base, other], 9, a, b, normalize=False)
+        est = K.est_jaccard(sigs[0], sigs[1])
+        worst = min(worst, est - 0.0)
+        assert est >= 0.20, f"trial {trial}: true J={tj:.3f} est={est:.3f}"
+    assert worst < 1.0  # at least one constructed pair was in band
+
+
 def test_lcs_large_realistic():
     rng = random.Random(21)
     a = _rand_text(rng, 5000)

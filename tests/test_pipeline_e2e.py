@@ -163,6 +163,37 @@ def test_resume_after_simulated_failure(spark, corpus, run_dir, clusters):
     pd.testing.assert_frame_equal(a, b)
 
 
+def test_recall_fixtures_tier_2000(spark, tmp_path):
+    """FIXTURES.md test-tier corpus (~2000 rows): recall >= 0.99 via the
+    pure-DataFrame pipeline (heavier than the module fixture; end-of-suite
+    confidence run)."""
+    from pyspark.sql import functions as F
+
+    from dedup.pipeline import run_dataframe_pipeline
+
+    corpus = generate_corpus(2000, seed=42)
+    files = spark.createDataFrame(corpus.files)
+    out = run_dataframe_pipeline(files, CFG).toPandas()
+    hashed = (
+        files.select("repo", "path", "commit")
+        .withColumn("doc_id", F.xxhash64("repo", "path", "commit"))
+        .toPandas()
+    )
+    key_to_id = {(r.repo, r.path, r.commit): r.doc_id for r in hashed.itertuples()}
+    truth_pairs = set()
+    merged = corpus.truth
+    for _, grp in merged[merged.clone_type != "unique"].groupby("truth_cluster_id"):
+        ids = sorted(key_to_id[(r.repo, r.path, r.commit)] for r in grp.itertuples())
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                truth_pairs.add((ids[i], ids[j]))
+    found = _pairs_from_clusters(out)
+    recall = len(found & truth_pairs) / len(truth_pairs)
+    precision = 1 - len(found - truth_pairs) / max(len(found), 1)
+    assert recall >= 0.99, f"recall={recall:.4f}"
+    assert precision >= 0.97, f"precision={precision:.4f}"
+
+
 def test_metrics_and_lineage_written(clusters):
     _, pipe = clusters
     metrics = pipe.store.read_pandas("_metrics")
