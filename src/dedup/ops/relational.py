@@ -181,8 +181,9 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SESSIONIZE_SQL = """
 SELECT event_id, user_id,
-       sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                           ROWS UNBOUNDED PRECEDING) AS session_no
+       -- cast: DuckDB window sum(BIGINT) is HUGEINT -> float64 in pandas
+       cast(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS bigint) AS session_no
 FROM (
   SELECT event_id, user_id, ts,
          CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -283,7 +284,9 @@ def events_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 EVENTS_JSON_SQL = """
 SELECT event_type,
-       sum(cast(json_extract_string(props, '$.k') AS bigint)) AS sum_k,
+       -- DuckDB sum(BIGINT) is HUGEINT -> float64 in pandas; pin to int64 so
+       -- the driver's value-hash sees the same representation as Spark
+       cast(sum(cast(json_extract_string(props, '$.k') AS bigint)) AS bigint) AS sum_k,
        max(cast(json_extract_string(props, '$.k') AS bigint)) AS max_k,
        count(*) AS n
 FROM events

@@ -52,8 +52,20 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(ORACLED))
 @pytest.mark.parametrize("name", ORACLED)
 def test_query_matches_duckdb_oracle(spark, ddb, name):
     spark_fn = entrymod.queries()[name]
-    got = _canon(spark_fn(spark, SF_DIR).toPandas())
-    expect = _canon(ddb.execute(entrymod.oracle_sql()[name]).df())
+    got_raw = spark_fn(spark, SF_DIR).toPandas()
+    expect_raw = ddb.execute(entrymod.oracle_sql()[name]).df()
+    # The driver's value-hash is representation-sensitive: an int64 column on
+    # one engine vs float64 on the other (e.g. DuckDB HUGEINT sums) hashes
+    # differently even when values agree. Require matching dtype *kinds*.
+    for c in sorted(got_raw.columns):
+        if c in expect_raw.columns:
+            gk, ek = got_raw[c].dtype.kind, expect_raw[c].dtype.kind
+            assert gk == ek, (
+                f"{name}.{c}: spark dtype kind {gk!r} != oracle {ek!r} "
+                f"({got_raw[c].dtype} vs {expect_raw[c].dtype})"
+            )
+    got = _canon(got_raw)
+    expect = _canon(expect_raw)
     assert list(got.columns) == list(expect.columns), (
         f"{name}: columns {list(got.columns)} != {list(expect.columns)}"
     )
