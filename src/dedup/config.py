@@ -31,15 +31,25 @@ class DedupConfig:
     lcs_min_chars: int = 60         # absolute LCS floor
     lcs_min_ratio: float = 0.25     # LCS >= ratio * min(len_a, len_b)
     jaccard_floor: float = 0.50     # exact-Jaccard fast-accept threshold
+    # below this exact Jaccard a pair is rejected without the (expensive)
+    # LCS check; at/above it, an LCS hit can still accept the pair (type-3
+    # clones: one large moved block, low shingle overlap)
+    lcs_gate_jaccard: float = 0.10
     # JVM-side MinHash-estimate prefilter: pairs with est J below this never
-    # reach Python verification. With num_perm=128 the estimator sd is
-    # ~sqrt(J(1-J)/128) <= 0.045, so 0.20 sits >5 sigma below a true
-    # J=0.45 (type-3) pair — recall-safe, and it prunes the noise pairs that
-    # dominate candidate sets on low-entropy corpora.
-    prefilter_min_est_jaccard: float = 0.20
+    # reach Python verification. MUST sit below lcs_gate_jaccard by the
+    # estimator noise margin (validated in __post_init__): a pair whose TRUE
+    # Jaccard is at the LCS gate could still be accepted via LCS, so the
+    # prefilter may only shave pairs that are >=1.5 sigma below the gate.
+    # With num_perm=128, sd(J=0.10) = sqrt(0.1*0.9/128) = 0.0265 ->
+    # gate - 1.5*sd = 0.060.
+    prefilter_min_est_jaccard: float = 0.06
     # --- skew handling ---
     bucket_cap: int = 64            # LSH bucket size above which we star-link
-    max_bucket_pairs: int = 2048    # hard cap on per-bucket pair emission
+    # hard cap on per-bucket pair emission for sub-cap buckets (C(64,2)=2016
+    # fits). Truncation keeps the FIRST pairs of the sorted expansion, which
+    # begin with the complete star of the smallest member — so a truncated
+    # bucket stays connected and clustering recall is preserved.
+    max_bucket_pairs: int = 2048
     # --- ledger (graft of reference Config.scala:20-24) ---
     max_processing_time_s: float = 3600.0   # claim staleness -> Timeout
     ttl_s: float | None = None              # completed-row expiry; None = never
@@ -62,6 +72,22 @@ class DedupConfig:
         if 64 % blocks != 0:
             raise ValueError(
                 f"hamming_radius+1 ({blocks}) must divide 64 for block keying"
+            )
+        sd_at_gate = (
+            self.lcs_gate_jaccard * (1 - self.lcs_gate_jaccard) / self.num_perm
+        ) ** 0.5
+        if self.prefilter_min_est_jaccard > self.lcs_gate_jaccard - 1.5 * sd_at_gate:
+            raise ValueError(
+                f"prefilter_min_est_jaccard ({self.prefilter_min_est_jaccard})"
+                f" must be <= lcs_gate_jaccard - 1.5*sd"
+                f" ({self.lcs_gate_jaccard - 1.5 * sd_at_gate:.4f}), else pairs"
+                " the LCS path would accept get pruned before verification"
+            )
+        if self.max_bucket_pairs < self.bucket_cap - 1:
+            raise ValueError(
+                f"max_bucket_pairs ({self.max_bucket_pairs}) must be >= "
+                f"bucket_cap-1 ({self.bucket_cap - 1}) to keep a truncated "
+                "bucket's star edges intact (connectivity safety)"
             )
 
     def config_hash(self) -> str:

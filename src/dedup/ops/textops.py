@@ -150,6 +150,16 @@ FROM documents
 """
 
 
+# Document-frequency cap on grams entering the self-join: a gram shared by
+# more than this many docs is boilerplate (a "stop-gram") and would emit
+# O(df^2) join rows. Dropping it bounds per-gram output at C(cap, 2) pairs.
+# Denominators (na/nb) stay the FULL distinct-gram counts, so the reported
+# jacc is a lower bound of true Jaccard — pairs whose overlap is entirely
+# boilerplate fall below the 0.15 threshold by design. Mirrored verbatim in
+# the DuckDB oracle so the value-hash gate still agrees.
+_NGRAM_DF_CAP = 64
+
+
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup pairs (>= 0.15) — the SQL-expressible
     oracle twin of the MinHash/LSH channel (which estimates exactly this)."""
@@ -172,6 +182,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "grams", F.size("grams").alias("n_grams"))
     )
     ex = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # hot-gram cap: drop grams present in > _NGRAM_DF_CAP docs before the
+    # self-join (grams are distinct per doc, so count == doc frequency).
+    # The anti-join shuffles on `gram`, the same key the self-join needs.
+    hot = (
+        ex.groupBy("gram")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > _NGRAM_DF_CAP)
+        .select("gram")
+    )
+    ex = ex.join(hot, "gram", "left_anti")
     # explicit hash partitioning on the join key: the gram rows are small so
     # AQE would coalesce the self-join to a handful of partitions, but the
     # join OUTPUT explodes quadratically in hot-gram bucket size — partition
@@ -201,7 +221,7 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_SQL = """
+NGRAM_JACCARD_SQL = f"""
 WITH toks AS (
   SELECT doc_id, string_split(text, ' ') AS t FROM documents
 ),
@@ -212,7 +232,11 @@ grams AS (
   FROM toks WHERE len(t) >= 3
 ),
 counted AS (SELECT doc_id, g, len(g) AS n_grams FROM grams),
-ex AS (SELECT doc_id, n_grams, unnest(g) AS gram FROM counted),
+ex_all AS (SELECT doc_id, n_grams, unnest(g) AS gram FROM counted),
+cool AS (
+  SELECT gram FROM ex_all GROUP BY gram HAVING count(*) <= {_NGRAM_DF_CAP}
+),
+ex AS (SELECT ex_all.* FROM ex_all JOIN cool USING (gram)),
 pairs AS (
   SELECT a.doc_id AS src, b.doc_id AS dst, a.n_grams AS na, b.n_grams AS nb,
          count(*) AS shared
@@ -233,11 +257,17 @@ def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
 
     def _z(pdf):
+        import numpy as np
+        import pandas as pd
+
         mu = pdf.n_chars.mean()
         sd = pdf.n_chars.std(ddof=1)
-        z = (pdf.n_chars - mu) / sd if sd and sd > 0 else pdf.n_chars * 0.0
-        import numpy as np
-
+        # degenerate groups (one row -> sd NaN, constant -> sd 0) must yield
+        # NULL exactly like the oracle's stddev_samp CASE, not 0.0
+        if sd is None or not np.isfinite(sd) or sd <= 0:
+            z = pd.Series(np.nan, index=pdf.index, dtype="float64")
+        else:
+            z = (pdf.n_chars - mu) / sd
         return pdf.assign(zscore=np.floor(z * 10000 + 0.5) / 10000)[
             ["doc_id", "lang", "zscore"]
         ]
@@ -249,9 +279,12 @@ def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DOC_ZSCORE_SQL = """
 SELECT doc_id, lang,
-       floor(((n_chars - avg(n_chars) OVER (PARTITION BY lang))
-              / stddev_samp(n_chars) OVER (PARTITION BY lang)) * 10000 + 0.5)
-       / 10000 AS zscore
+       CASE WHEN coalesce(stddev_samp(n_chars) OVER (PARTITION BY lang), 0) = 0
+            THEN NULL
+            ELSE floor(((n_chars - avg(n_chars) OVER (PARTITION BY lang))
+                        / stddev_samp(n_chars) OVER (PARTITION BY lang))
+                       * 10000 + 0.5) / 10000
+       END AS zscore
 FROM documents
 """
 

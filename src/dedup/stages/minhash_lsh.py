@@ -115,20 +115,23 @@ def pairs_from_buckets(
     ).where(F.col("bsz") >= 2)
     joined = rows.join(buckets, key_cols)
 
+    # max_bucket_pairs is a HARD emission cap per bucket on top of the
+    # quadratic bound C(bucket_cap, 2). Truncation is connectivity-safe:
+    # the flattened expansion starts with i=0, the complete star of the
+    # smallest member, and max_bucket_pairs >= bucket_cap-1 is enforced in
+    # DedupConfig.__post_init__, so every member keeps at least one edge.
+    expansion = (
+        "slice(flatten(transform(sequence(0, size(ms)-2), i -> "
+        "transform(slice(ms, i+2, size(ms)-i-1), y -> "
+        "struct(ms[i].d AS src, y.d AS dst, "
+        "ms[i].p AS payload_src, y.p AS payload_dst)))), "
+        f"1, {int(config.max_bucket_pairs)})"
+    )
     small_pairs = (
         joined.where(F.col("bsz") <= config.bucket_cap)
         .groupBy(*key_cols)
         .agg(F.array_sort(F.collect_list("m")).alias("ms"))
-        .select(
-            F.explode(
-                F.expr(
-                    "flatten(transform(sequence(0, size(ms)-2), i -> "
-                    "transform(slice(ms, i+2, size(ms)-i-1), y -> "
-                    "struct(ms[i].d AS src, y.d AS dst, "
-                    "ms[i].p AS payload_src, y.p AS payload_dst))))"
-                )
-            ).alias("e")
-        )
+        .select(F.explode(F.expr(expansion)).alias("e"))
         .select("e.src", "e.dst", "e.payload_src", "e.payload_dst")
     )
     big_pairs = (

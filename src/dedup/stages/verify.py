@@ -35,10 +35,6 @@ _OUT_SCHEMA = (
     "src long, dst long, jaccard double, lcs long, accepted boolean"
 )
 
-# below this Jaccard a pair is rejected without the (expensive) LCS check;
-# type-3 clones (one moved/inserted block) sit well above it.
-_LCS_GATE = 0.10
-
 
 def prepare_pairs(
     edges: DataFrame, reps: DataFrame, sig_df: DataFrame, config: DedupConfig
@@ -89,6 +85,7 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
     k = config.shingle_k
     norm = config.normalize
     floor = config.jaccard_floor
+    lcs_gate = config.lcs_gate_jaccard
     lcs_min = config.lcs_min_chars
     lcs_ratio = config.lcs_min_ratio
 
@@ -128,7 +125,7 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                 if j >= floor:
                     ok[i] = True
                     continue
-                if j < _LCS_GATE:
+                if j < lcs_gate:
                     continue
                 ln = K.longest_common_substring(ca, cb)
                 lcs[i] = ln

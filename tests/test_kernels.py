@@ -208,10 +208,13 @@ def test_lcs_matches_naive_unicode(a, b):
 
 
 def test_prefilter_threshold_recall_safe():
-    """The verify stage drops pairs with MinHash-estimated J < 0.20 before
-    content verification (config.prefilter_min_est_jaccard). Property: for
-    pairs at true J >= 0.45 (the weakest planted type-3 grade), the estimate
-    at num_perm=128 essentially never falls below 0.20."""
+    """The verify stage drops pairs with MinHash-estimated J below
+    config.prefilter_min_est_jaccard (0.06, keyed 1.5 sigma under the LCS
+    gate) before content verification. Property: for pairs at true J >= 0.45
+    (the weakest planted type-3 grade), the estimate at num_perm=128
+    essentially never falls below the OLD aggressive 0.20 threshold — so it
+    certainly clears the current 0.06 one. (The [gate, 0.20) band is covered
+    by tests/test_stages.py::test_lcs_band_pairs_survive_prefilter.)"""
     rng = random.Random(99)
     a, b = K.make_minhash_coeffs(128, 42)
     worst = 1.0

@@ -249,3 +249,65 @@ def test_cc_chain_graph(spark):
     assert all(r["cluster_id"] == 0 for r in got)
     assert len(got) == n
     assert rounds <= 15
+
+
+# ---------------------------------------------------------------------------
+# round-2 skew / recall guards
+# ---------------------------------------------------------------------------
+
+def test_max_bucket_pairs_hard_cap_preserves_connectivity(spark):
+    """max_bucket_pairs truncates sub-cap bucket expansion, but the kept
+    prefix starts with the smallest member's full star, so the bucket must
+    remain one connected component."""
+    cfg = DedupConfig(bucket_cap=64, max_bucket_pairs=63, shuffle_partitions=8)
+    rows = [(1, m, 0) for m in range(40)]  # C(40,2)=780 pairs uncapped
+    df = spark.createDataFrame(rows, "bucket long, doc_id long, payload long")
+    edges = SM.pairs_from_buckets(df, ["bucket"], cfg, "payload").collect()
+    assert 39 <= len(edges) <= 63
+    g = nx.Graph()
+    g.add_nodes_from(range(40))
+    g.add_edges_from((r["src"], r["dst"]) for r in edges)
+    assert nx.number_connected_components(g) == 1
+
+
+def test_lcs_band_pairs_survive_prefilter(spark):
+    """ADVICE round 1: pairs with true shingle-Jaccard in [lcs_gate, 0.20)
+    whose long common block the LCS path accepts must NOT be pruned by the
+    est-Jaccard prefilter (it now sits 1.5 sigma below the gate)."""
+    import random
+    import string
+
+    rng = random.Random(7)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase + " ") for _ in range(n)
+        )
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    rows = []
+    for i in range(5):
+        common = rand_text(220)
+        a = rand_text(550) + common
+        b = common + rand_text(550)
+        tj = K.jaccard_shingles(a, b, cfg.shingle_k, normalize=False)
+        assert cfg.lcs_gate_jaccard <= tj < 0.20, f"pair {i}: J={tj:.3f}"
+        rows.append((2 * i, 2 * i + 1, a, b))
+
+    reps = spark.createDataFrame(
+        [(r[0], r[2]) for r in rows] + [(r[1], r[3]) for r in rows],
+        "doc_id long, content string",
+    )
+    edges = spark.createDataFrame(
+        [(r[0], r[1]) for r in rows], "src long, dst long"
+    )
+    sig_df = SM.signatures(reps, cfg)
+    pairs = SV.prepare_pairs(edges, reps, sig_df, cfg)
+    kept = {(r["src"], r["dst"]) for r in pairs.select("src", "dst").collect()}
+    assert kept == {(r[0], r[1]) for r in rows}, "prefilter dropped LCS-band pairs"
+
+    verdicts = {
+        (r["src"], r["dst"]): r["accepted"]
+        for r in SV.verify_edges(pairs, cfg).collect()
+    }
+    assert all(verdicts.values()), f"LCS path rejected band pairs: {verdicts}"
