@@ -12,18 +12,35 @@ never re-shingled):
 2. new docs whose sha256 already exists inherit the existing representative
    (point lookup against the hashed table — the R6 peek);
 3. genuinely new contents are shingled/signed ONCE and probed against the
-   persistent LSH band index and SimHash block index with plain equi-joins
-   (new-vs-old), plus the capped pair generator among themselves
-   (new-vs-new);
+   persistent LSH band index and SimHash block index (new-vs-old), plus the
+   capped pair generator among themselves (new-vs-new). Probes are
+   scale-guarded twice:
+   - PARTITION PRUNING: the bands index is hive-partitioned on
+     pbucket = band_hash % N_PBUCKETS, and the probe reads only the
+     pbuckets the batch touches (plan-level PartitionFilters);
+   - SKEW CAP: per-bucket (size, pivot) stats ride with each index; a probe
+     against a bucket larger than bucket_cap emits ONE star edge to the
+     bucket pivot instead of bsz pairs — the same cap/star treatment the
+     batch channels apply (ADVICE r1);
 4. candidates pass the same est-Jaccard prefilter + content verification;
 5. connected components run over (old assignments as edges) ∪ (exact
    inheritance edges) ∪ (new verified edges), so new evidence can merge
    existing clusters, and cluster_id stays min(doc_id) of the component.
 
-Scale note: step 3 is the whole point — the per-batch cost is
-O(batch x bucket hit rate), independent of corpus size; the bands/simhashes
-tables ARE the index and grow with the corpus (32 + 4 rows per rep), which
-is what a production LSH index costs anywhere.
+Crash safety (ADVICE r1, high): every table change of an ingest — index
+appends, stats, clusters — publishes in ONE atomic catalog CAS
+(TableStore.commit_many), so the re-ingest guard (left_anti on `hashed`)
+can never observe a half-committed batch. The only crash window left is
+between the catalog commit and the ledger completion record; a retry then
+recomputes against an index that already contains the batch, which is a
+pure no-op (the guard empties the batch, appends are empty, clusters
+recompute to the identical assignment from the committed edges).
+
+Scale note: per-batch probe cost is O(batch x bucket hit rate) with both
+guards above; the index tables grow by APPEND segments (no corpus-sized
+rewrite per ingest). `clusters` and the per-bucket stats are the only full
+rewrites — one row per doc / per distinct bucket; on Iceberg both become
+MERGE INTO.
 """
 
 from __future__ import annotations
@@ -56,6 +73,104 @@ def _batch_fingerprint(files: DataFrame) -> str:
     return f"batch-{row['n']}-{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
 
 
+def _pair(src_col, dst_col) -> list:
+    return [
+        F.least(src_col, dst_col).alias("src"),
+        F.greatest(src_col, dst_col).alias("dst"),
+    ]
+
+
+def _merge_band_stats(old: DataFrame, new: DataFrame) -> DataFrame:
+    o = old.select(
+        "band_id", "band_hash",
+        F.col("bsz").alias("o_bsz"), F.col("pivot").alias("o_pivot"),
+    )
+    n = new.select(
+        "band_id", "band_hash",
+        F.col("bsz").alias("n_bsz"), F.col("pivot").alias("n_pivot"),
+    )
+    return o.join(n, ["band_id", "band_hash"], "full").select(
+        "band_id", "band_hash",
+        (F.coalesce("o_bsz", F.lit(0)) + F.coalesce("n_bsz", F.lit(0)))
+        .alias("bsz"),
+        F.least("o_pivot", "n_pivot").alias("pivot"),  # least skips nulls
+    )
+
+
+def _merge_sim_stats(old: DataFrame, new: DataFrame) -> DataFrame:
+    o = old.select(
+        "block_id", "block_val",
+        F.col("bsz").alias("o_bsz"), F.col("pivot").alias("o_pivot"),
+        F.col("pivot_simhash").alias("o_ps"),
+    )
+    n = new.select(
+        "block_id", "block_val",
+        F.col("bsz").alias("n_bsz"), F.col("pivot").alias("n_pivot"),
+        F.col("pivot_simhash").alias("n_ps"),
+    )
+    new_wins = F.col("n_pivot").isNotNull() & (
+        F.col("o_pivot").isNull() | (F.col("n_pivot") < F.col("o_pivot"))
+    )
+    return o.join(n, ["block_id", "block_val"], "full").select(
+        "block_id", "block_val",
+        (F.coalesce("o_bsz", F.lit(0)) + F.coalesce("n_bsz", F.lit(0)))
+        .alias("bsz"),
+        F.least("o_pivot", "n_pivot").alias("pivot"),
+        F.when(new_wins, F.col("n_ps")).otherwise(F.col("o_ps"))
+        .alias("pivot_simhash"),
+    )
+
+
+def probe_band_index(
+    bands_new: DataFrame,
+    bands_old: DataFrame,
+    stats_old: DataFrame,
+    config: DedupConfig,
+) -> DataFrame:
+    """New-vs-old LSH candidates, skew-capped via the persisted bucket stats:
+    buckets at/below bucket_cap join in full (<= cap old rows per new row),
+    hotter buckets contribute ONE star edge to their pivot."""
+    probe = bands_new.join(stats_old, ["band_id", "band_hash"])
+    hot = probe.where(F.col("bsz") > config.bucket_cap).select(
+        *_pair(F.col("doc_id"), F.col("pivot"))
+    )
+    cold_keys = probe.where(F.col("bsz") <= config.bucket_cap).select(
+        "band_id", "band_hash", F.col("doc_id").alias("new_id")
+    )
+    cold = cold_keys.join(bands_old, ["band_id", "band_hash"]).select(
+        *_pair(F.col("new_id"), F.col("doc_id"))
+    )
+    return hot.unionByName(cold).where(F.col("src") != F.col("dst"))
+
+
+def probe_block_index(
+    blocks_new: DataFrame,
+    blocks_old: DataFrame,
+    stats_old: DataFrame,
+    config: DedupConfig,
+) -> DataFrame:
+    """New-vs-old SimHash candidates with the same stats-based cap; the JVM
+    popcount filter applies to star edges too (pivot_simhash rides in the
+    stats), mirroring the batch channel's semantics."""
+    radius = config.hamming_radius
+    probe = blocks_new.join(stats_old, ["block_id", "block_val"])
+    hot = (
+        probe.where(F.col("bsz") > config.bucket_cap)
+        .where(F.expr(f"bit_count(simhash ^ pivot_simhash) <= {radius}"))
+        .select(*_pair(F.col("doc_id"), F.col("pivot")))
+    )
+    cold_keys = probe.where(F.col("bsz") <= config.bucket_cap).select(
+        "block_id", "block_val",
+        F.col("doc_id").alias("new_id"), F.col("simhash").alias("new_sh"),
+    )
+    cold = (
+        cold_keys.join(blocks_old, ["block_id", "block_val"])
+        .where(F.expr(f"bit_count(new_sh ^ simhash) <= {radius}"))
+        .select(*_pair(F.col("new_id"), F.col("doc_id")))
+    )
+    return hot.unionByName(cold).where(F.col("src") != F.col("dst"))
+
+
 def ingest_batch(
     spark: SparkSession,
     config: DedupConfig,
@@ -81,11 +196,14 @@ def ingest_batch(
     hashed_old = store.read(spark, "hashed")
     reps_old = store.read(spark, "reps")
     sigs_old = store.read(spark, "signatures")
-    bands_old = store.read(spark, "bands")
     sims_old = store.read(spark, "simhashes")
     clusters_old = store.read(spark, "clusters")
+    band_stats_old = store.read(spark, "bands_stats")
+    sim_stats_old = store.read(spark, "sim_stats")
 
     # -- 1. hash; drop re-ingested natural keys ----------------------------
+    # (safe as a re-ingest guard because ingest commits are all-or-nothing:
+    # a doc_id present in `hashed` implies its index/cluster rows landed too)
     hashed_new = stage_exact.hash_content(new_files).join(
         hashed_old.select("doc_id"), "doc_id", "left_anti"
     ).persist()
@@ -106,36 +224,25 @@ def ingest_batch(
     bands_new = stage_minhash.band_rows(sigs_new).persist()
     sims_new = stage_simhash.simhashes(reps_new, config).persist()
 
-    # -- 5. candidates: new-new (capped) + new-old (index probe) -----------
+    # -- 5. candidates: new-new (capped) + new-old (guarded index probe) ----
     nn_lsh = stage_minhash.candidate_pairs(bands_new, config)
-    no_lsh = (
-        bands_new.join(bands_old, ["band_id", "band_hash"], "inner")
-        .select(
-            F.least(bands_new.doc_id, bands_old.doc_id).alias("src"),
-            F.greatest(bands_new.doc_id, bands_old.doc_id).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+
+    # partition-pruned read: only pbuckets the batch touches reach the scan
+    bands_new_pb = stage_minhash.with_pbucket(bands_new).persist()
+    touched = [
+        int(r[0]) for r in bands_new_pb.select("pbucket").distinct().collect()
+    ]
+    bands_old = store.read(spark, "bands").where(F.col("pbucket").isin(touched))
+    no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
+
     nn_sim = stage_simhash.candidate_pairs(sims_new, config)
-    blocks_new = sims_new.select(
-        "doc_id", "simhash", F.posexplode("blocks").alias("block_id", "block_val")
+    no_sim = probe_block_index(
+        stage_simhash.block_rows(sims_new),
+        stage_simhash.block_rows(sims_old),
+        sim_stats_old,
+        config,
     )
-    blocks_old = sims_old.select(
-        "doc_id", "simhash", F.posexplode("blocks").alias("block_id", "block_val")
-    )
-    no_sim = (
-        blocks_new.alias("n").join(
-            blocks_old.alias("o"), ["block_id", "block_val"], "inner"
-        )
-        .where(F.expr(f"bit_count(n.simhash ^ o.simhash) <= {config.hamming_radius}"))
-        .select(
-            F.least(F.col("n.doc_id"), F.col("o.doc_id")).alias("src"),
-            F.greatest(F.col("n.doc_id"), F.col("o.doc_id")).alias("dst"),
-        )
-        .where(F.col("src") != F.col("dst"))
-        .dropDuplicates(["src", "dst"])
-    )
+
     cand = (
         nn_lsh.unionByName(no_lsh).unionByName(nn_sim).unionByName(no_sim)
         .dropDuplicates(["src", "dst"])
@@ -197,24 +304,36 @@ def ingest_batch(
         )
     )
 
-    # -- 8. commit new snapshots (index grows), then the ledger row --------
-    snapshots = {
-        "hashed": store.write(
-            hashed_old.unionByName(hashed_new.select(*hashed_old.columns)), "hashed"
+    # -- 8. stage everything, publish in ONE atomic catalog CAS ------------
+    updates = {
+        "hashed": store.stage(
+            hashed_new.select(*hashed_old.columns), "hashed", "append"
         ),
-        "reps": store.write(
-            reps_old.unionByName(reps_new.select(*reps_old.columns)), "reps"
+        "reps": store.stage(
+            reps_new.select(*reps_old.columns), "reps", "append"
         ),
-        "signatures": store.write(
-            sigs_old.select("doc_id", "sig").unionByName(
-                sigs_new.select("doc_id", "sig")), "signatures"
+        "signatures": store.stage(
+            sigs_new.select("doc_id", "sig"), "signatures", "append"
         ),
-        "bands": store.write(bands_old.unionByName(bands_new), "bands"),
-        "simhashes": store.write(
-            sims_old.unionByName(sims_new.select(*sims_old.columns)), "simhashes"
+        "bands": store.stage(
+            bands_new_pb.repartition(F.col("pbucket")), "bands", "append",
+            ["pbucket"],
         ),
-        "clusters": store.write(clusters, "clusters"),
+        "simhashes": store.stage(
+            sims_new.select(*sims_old.columns), "simhashes", "append"
+        ),
+        "bands_stats": store.stage(
+            _merge_band_stats(band_stats_old, stage_minhash.band_stats(bands_new)),
+            "bands_stats", "replace",
+        ),
+        "sim_stats": store.stage(
+            _merge_sim_stats(sim_stats_old, stage_simhash.block_stats(sims_new)),
+            "sim_stats", "replace",
+        ),
+        "clusters": store.stage(clusters, "clusters", "replace"),
     }
+    store.commit_many(updates)
+    snapshots = {t: store.current_snapshot(t) for t in updates}
     ledger.mark_completed(
         batch_id, _CTX,
         {"snapshots": snapshots, "config_hash": config.config_hash()},

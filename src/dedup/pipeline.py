@@ -41,6 +41,9 @@ from .stages import verify as stage_verify
 
 STAGES = ["sha256", "minhash_lsh", "simhash", "verify", "cluster"]
 
+# tables written hive-partitioned so incremental probes can prune the scan
+_PARTITIONED: dict[str, list[str]] = {"bands": ["pbucket"]}
+
 
 def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
     """The whole pipeline as one lazy DataFrame composition — no checkpoint
@@ -151,7 +154,14 @@ class Pipeline:
         # reference README.md:211-219); the claim is ours now.
         t0 = time.time()
         outputs = fn()
-        snapshots = {t: self.store.write(df, t) for t, df in outputs.items()}
+        # stage all data first, then ONE atomic catalog CAS for the whole
+        # stage — a crash mid-stage leaves no partially visible table set
+        updates = {
+            t: self.store.stage(df, t, "replace", _PARTITIONED.get(t))
+            for t, df in outputs.items()
+        }
+        self.store.commit_many(updates)
+        snapshots = {t: self.store.current_snapshot(t) for t in outputs}
         wall = time.time() - t0
         self._append_metrics(name, list(outputs), wall)
         self._append_lineage(name, snapshots, wall)
@@ -219,14 +229,19 @@ class Pipeline:
         reps = self.store.read(self.spark, "reps")
         sigs = stage_minhash.signatures(reps, self.config)
         # one pandas-UDF pass; `signatures` feeds the verify prefilter and
-        # `bands` IS the persistent LSH index (incremental batches probe it)
+        # `bands` IS the persistent LSH index (incremental batches probe it):
+        # stored hive-partitioned on pbucket (one file per pbucket via the
+        # repartition) so probes prune, with per-bucket stats alongside so
+        # probes can star-link hot buckets instead of joining them in full
         sigs = sigs.persist()
+        bands = stage_minhash.band_rows(sigs)
         out = {
             "signatures": sigs.select("doc_id", "sig"),
-            "bands": stage_minhash.band_rows(sigs),
-            "edges_lsh": stage_minhash.candidate_pairs(
-                stage_minhash.band_rows(sigs), self.config
+            "bands": stage_minhash.with_pbucket(bands).repartition(
+                F.col("pbucket")
             ),
+            "bands_stats": stage_minhash.band_stats(bands),
+            "edges_lsh": stage_minhash.candidate_pairs(bands, self.config),
         }
         return out
 
@@ -235,6 +250,7 @@ class Pipeline:
         sh = stage_simhash.simhashes(reps, self.config).persist()
         return {
             "simhashes": sh,  # persistent Hamming-block index for increments
+            "sim_stats": stage_simhash.block_stats(sh),
             "edges_simhash": stage_simhash.candidate_pairs(sh, self.config),
         }
 

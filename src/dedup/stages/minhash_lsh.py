@@ -80,6 +80,28 @@ def band_rows(sig_df: DataFrame) -> DataFrame:
     )
 
 
+# partition count of the persistent bands index: incremental probes prune
+# the scan to the pbuckets their batch actually touches (a batch of b docs
+# hits <= b*bands of the N_PBUCKETS partitions)
+N_PBUCKETS = 256
+
+
+def with_pbucket(bands_df: DataFrame) -> DataFrame:
+    return bands_df.withColumn(
+        "pbucket", F.pmod(F.col("band_hash"), F.lit(N_PBUCKETS)).cast("int")
+    )
+
+
+def band_stats(bands_df: DataFrame) -> DataFrame:
+    """Per-bucket (size, pivot) of the persistent LSH index. Incremental
+    probes consult this to star-link against hot buckets instead of joining
+    them in full (ADVICE r1: the new-vs-old probe needs the same skew cap as
+    the batch channels)."""
+    return bands_df.groupBy("band_id", "band_hash").agg(
+        F.count(F.lit(1)).alias("bsz"), F.min("doc_id").alias("pivot")
+    )
+
+
 def pairs_from_buckets(
     rows: DataFrame,
     key_cols: list[str],

@@ -51,6 +51,24 @@ def simhashes(reps: DataFrame, config: DedupConfig) -> DataFrame:
     )
 
 
+def block_rows(simhash_df: DataFrame) -> DataFrame:
+    return simhash_df.select(
+        "doc_id", "simhash",
+        F.posexplode("blocks").alias("block_id", "block_val"),
+    )
+
+
+def block_stats(simhash_df: DataFrame) -> DataFrame:
+    """Per-block-bucket (size, pivot, pivot simhash) of the Hamming index;
+    the pivot's simhash rides along so an incremental probe can still apply
+    the JVM popcount filter to star edges without another join."""
+    return block_rows(simhash_df).groupBy("block_id", "block_val").agg(
+        F.count(F.lit(1)).alias("bsz"),
+        F.min("doc_id").alias("pivot"),
+        F.min_by("simhash", "doc_id").alias("pivot_simhash"),
+    )
+
+
 def candidate_pairs(simhash_df: DataFrame, config: DedupConfig) -> DataFrame:
     """Candidate edges (src < dst) within the Hamming ball, skew-capped.
 
@@ -60,11 +78,9 @@ def candidate_pairs(simhash_df: DataFrame, config: DedupConfig) -> DataFrame:
     """
     from .minhash_lsh import pairs_from_buckets
 
-    block_rows = simhash_df.select(
-        "doc_id", "simhash", F.posexplode("blocks").alias("block_id", "block_val")
-    )
     pairs = pairs_from_buckets(
-        block_rows, ["block_id", "block_val"], config, payload_col="simhash"
+        block_rows(simhash_df), ["block_id", "block_val"], config,
+        payload_col="simhash",
     )
     return (
         pairs.where(

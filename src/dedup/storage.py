@@ -1,22 +1,26 @@
-"""Atomic-snapshot table store.
+"""Atomic-snapshot table store with a single versioned catalog.
 
 Production target is Iceberg (`df.writeTo(tbl)` + snapshot commits); the
 sandbox has no Iceberg runtime jar, so this module provides the documented
-fallback (SURVEY.md section 7 hard-parts): parquet directories with an atomic
-CURRENT-pointer commit. The semantics mirror Iceberg's:
+fallback (SURVEY.md section 7 hard-parts): immutable parquet segment
+directories plus ONE catalog file per commit. The semantics mirror an
+Iceberg catalog with multi-table transactions:
 
-- a write lands in a fresh snapshot directory, then a single atomic
-  `os.replace` of the CURRENT pointer publishes it (no torn reads),
-- readers always resolve CURRENT first — they see the old snapshot until the
-  pointer flips (snapshot isolation),
-- snapshots are immutable; re-running a stage produces a new snapshot and the
-  pointer flip is last-writer-wins, which is safe because stages are
-  deterministic functions of (input snapshot, config) — the batch analogue of
-  the reference's CAS takeover being unnecessary when recompute is idempotent
-  (reference: ProcessRepo.scala:84-89; SURVEY.md section 2.1 R9 mapping).
-
-The store is the single storage interface, so swapping in real Iceberg is a
-one-module change.
+- data lands in fresh immutable segment dirs, invisible until committed;
+- a commit writes `_catalog/v{N+1}.json` via os.link, which FAILS if that
+  version already exists — a true compare-and-swap, so concurrent writers
+  cannot silently drop each other's tables. Losers re-read and retry under
+  a budgeted backoff (retry.attempt_with_backoff — the reference's
+  pollStrategy shape, Config.scala:36-54);
+- `commit_many` updates any number of tables in ONE catalog CAS: either
+  every table in the transaction becomes visible or none does. This is what
+  makes incremental ingest crash-safe (ADVICE r1: committing `hashed`
+  before the index tables let a retried ingest skip never-indexed docs);
+- a table is a list of segments: `replace` installs a new list (snapshot
+  overwrite), `append` extends it (incremental index growth without
+  rewriting the corpus-sized table);
+- readers resolve the latest catalog version first — snapshot isolation;
+  old catalog files and segments are kept (time travel).
 """
 
 from __future__ import annotations
@@ -25,85 +29,194 @@ import json
 import os
 import time
 import uuid
+from dataclasses import dataclass
 from pathlib import Path
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .retry import BACKOFF, CommitConflict, RetryStrategy, attempt_with_backoff
+
+
+@dataclass(frozen=True)
+class TableUpdate:
+    """A staged change to one table: data already on disk, not yet visible."""
+
+    mode: str                 # "replace" | "append"
+    segments: list[str]
+
+    def __post_init__(self) -> None:
+        if self.mode not in ("replace", "append"):
+            raise ValueError(f"unknown update mode {self.mode!r}")
+
 
 class TableStore:
-    def __init__(self, root: str | os.PathLike):
+    def __init__(self, root: str | os.PathLike,
+                 retry: RetryStrategy = BACKOFF):
         self.root = Path(root)
-        self.root.mkdir(parents=True, exist_ok=True)
+        self.retry = retry
+        (self.root / "_catalog").mkdir(parents=True, exist_ok=True)
 
     def _table_dir(self, name: str) -> Path:
         return self.root / name
 
-    def _pointer(self, name: str) -> Path:
-        return self._table_dir(name) / "CURRENT"
+    # -- catalog -------------------------------------------------------------
 
-    # -- commit protocol ---------------------------------------------------
+    def _catalog_dir(self) -> Path:
+        return self.root / "_catalog"
 
-    def write(self, df: DataFrame, name: str, mode: str = "overwrite") -> str:
-        """Write `df` as a new immutable snapshot and atomically publish it.
+    def _load_catalog(self) -> tuple[int, dict]:
+        files = sorted(self._catalog_dir().glob("v*.json"))
+        if not files:
+            return 0, {}
+        latest = files[-1]
+        return int(latest.stem[1:]), json.loads(latest.read_text())["tables"]
 
-        Returns the snapshot id. Analogue of the reference's markAsCompleted
-        phase-2 commit (MeteorProcessRepo.scala:46-73): data first, pointer
-        (completion record) last.
-        """
+    def _try_commit(self, version: int, tables: dict) -> bool:
+        """CAS: os.link fails with EEXIST if `version` was already taken."""
+        target = self._catalog_dir() / f"v{version:012d}.json"
+        tmp = self._catalog_dir() / f".tmp-{uuid.uuid4().hex[:8]}"
+        tmp.write_text(json.dumps({"tables": tables, "ts": time.time()}))
+        try:
+            os.link(tmp, target)
+            return True
+        except FileExistsError:
+            return False
+        finally:
+            tmp.unlink()
+
+    # -- staging (data on disk, not visible) ----------------------------------
+
+    def stage(
+        self,
+        df: DataFrame,
+        name: str,
+        mode: str = "replace",
+        partition_by: list[str] | None = None,
+    ) -> TableUpdate:
+        """Write `df` as a new immutable segment; returns the staged update.
+        Nothing is visible until commit_many publishes the catalog."""
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)
-        snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        snap_dir = tdir / snap_id
-        df.write.mode("errorifexists").parquet(str(snap_dir))
-        self._publish(name, snap_id)
-        return snap_id
+        seg = f"seg-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        writer = df.write.mode("errorifexists")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(str(tdir / seg))
+        return TableUpdate(mode, [seg])
+
+    # -- commit protocol -------------------------------------------------------
+
+    def commit_many(self, updates: dict[str, TableUpdate]) -> None:
+        """Publish any number of staged updates in ONE atomic catalog CAS.
+
+        Append merges against the CURRENT segment list inside the CAS
+        attempt, so a retry after losing the race appends to the winner's
+        state instead of clobbering it."""
+
+        def attempt():
+            version, tables = self._load_catalog()
+            merged = dict(tables)
+            for name, u in updates.items():
+                if u.mode == "replace":
+                    merged[name] = {"segments": list(u.segments)}
+                else:
+                    prev = merged.get(name, {"segments": []})["segments"]
+                    merged[name] = {"segments": list(prev) + list(u.segments)}
+            if not self._try_commit(version + 1, merged):
+                raise CommitConflict(f"catalog v{version + 1} already exists")
+
+        attempt_with_backoff(attempt, self.retry)
+
+    def write(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Snapshot-overwrite `name` with `df`; returns the snapshot id."""
+        self.commit_many({name: self.stage(df, name, "replace", partition_by)})
+        return self.current_snapshot(name)
+
+    def append(
+        self,
+        df: DataFrame,
+        name: str,
+        partition_by: list[str] | None = None,
+    ) -> str:
+        """Append `df` as a new segment of `name`; returns the snapshot id."""
+        self.commit_many({name: self.stage(df, name, "append", partition_by)})
+        return self.current_snapshot(name)
 
     def write_pandas(self, pdf, name: str) -> str:
         """Snapshot-commit a pandas DataFrame (small control tables)."""
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)
-        snap_id = f"snap-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
-        snap_dir = tdir / snap_id
-        snap_dir.mkdir()
-        pdf.to_parquet(snap_dir / "part-0.parquet", index=False)
-        self._publish(name, snap_id)
-        return snap_id
-
-    def _publish(self, name: str, snap_id: str) -> None:
-        ptr = self._pointer(name)
-        tmp = ptr.with_suffix(f".tmp-{uuid.uuid4().hex[:8]}")
-        tmp.write_text(json.dumps({"snapshot": snap_id, "ts": time.time()}))
-        os.replace(tmp, ptr)  # atomic on POSIX
+        seg = f"seg-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        (tdir / seg).mkdir()
+        pdf.to_parquet(tdir / seg / "part-0.parquet", index=False)
+        self.commit_many({name: TableUpdate("replace", [seg])})
+        return self.current_snapshot(name)
 
     # -- reads -------------------------------------------------------------
 
+    def _segments(self, name: str) -> list[str] | None:
+        _, tables = self._load_catalog()
+        entry = tables.get(name)
+        return None if entry is None else entry["segments"]
+
     def current_snapshot(self, name: str) -> str | None:
-        ptr = self._pointer(name)
-        if not ptr.exists():
-            return None
-        return json.loads(ptr.read_text())["snapshot"]
+        """Stable identity of the table's visible state (segment list)."""
+        segs = self._segments(name)
+        return None if segs is None else "+".join(segs)
 
     def exists(self, name: str) -> bool:
-        return self.current_snapshot(name) is not None
+        return self._segments(name) is not None
+
+    def paths(self, name: str) -> list[str]:
+        segs = self._segments(name)
+        if segs is None:
+            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
+        return [str(self._table_dir(name) / s) for s in segs]
 
     def path(self, name: str) -> str:
-        snap = self.current_snapshot(name)
-        if snap is None:
-            raise FileNotFoundError(f"table {name!r} has no committed snapshot")
-        return str(self._table_dir(name) / snap)
+        """Single-segment path (snapshot tables); segmented tables need paths()."""
+        ps = self.paths(name)
+        if len(ps) != 1:
+            raise ValueError(f"table {name!r} has {len(ps)} segments; use paths()")
+        return ps[0]
 
     def read(self, spark: SparkSession, name: str) -> DataFrame:
-        return spark.read.parquet(self.path(name))
+        """Union of all committed segments. Each segment is read as its own
+        root (hive-partitioned segments have per-segment partition dirs, so a
+        multi-root read would see conflicting structures); data-less segments
+        (e.g. an idempotent-replay append of zero rows) are skipped."""
+        paths = self.paths(name)
+        if len(paths) == 1:
+            return spark.read.parquet(paths[0])
+        live = [p for p in paths if any(Path(p).rglob("*.parquet"))]
+        dfs = [spark.read.parquet(p) for p in (live or paths[:1])]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out
 
     def read_pandas(self, name: str):
         import pandas as pd
 
-        p = Path(self.path(name))
-        parts = sorted(p.glob("*.parquet"))
-        return pd.concat([pd.read_parquet(f) for f in parts], ignore_index=True)
+        files: list[Path] = []
+        for p in self.paths(name):
+            files.extend(sorted(Path(p).rglob("*.parquet")))
+        return pd.concat([pd.read_parquet(f) for f in files], ignore_index=True)
 
     def drop(self, name: str) -> None:
-        """Remove the CURRENT pointer (snapshots kept — time-travel style)."""
-        ptr = self._pointer(name)
-        if ptr.exists():
-            ptr.unlink()
+        """Remove the table from the catalog (segments kept — time travel)."""
+
+        def attempt():
+            version, tables = self._load_catalog()
+            if name not in tables:
+                return
+            merged = {k: v for k, v in tables.items() if k != name}
+            if not self._try_commit(version + 1, merged):
+                raise CommitConflict(f"catalog v{version + 1} already exists")
+
+        attempt_with_backoff(attempt, self.retry)

@@ -104,3 +104,110 @@ def test_index_grew(incremental_clusters):
     bands = pipe.store.read(pipe.spark, "bands")
     reps = pipe.store.read(pipe.spark, "reps")
     assert bands.select("doc_id").distinct().count() == reps.count()
+
+
+# ---------------------------------------------------------------------------
+# round-2 guards: probe skew cap + crash recovery
+# ---------------------------------------------------------------------------
+
+def test_probe_band_index_caps_hot_buckets(spark):
+    """ADVICE r1: a boilerplate band bucket with B old members probed by b
+    new rows must emit b star edges, not B*b pairs."""
+    from dedup.incremental import probe_band_index
+    from dedup.stages.minhash_lsh import band_stats
+
+    cfg = DedupConfig(bucket_cap=8, shuffle_partitions=8)
+    # old index: hot bucket (0, 111) with 50 members, cold bucket (1, 222)
+    # with 3 members
+    old_rows = [(d, 0, 111) for d in range(100, 150)] + [
+        (d, 1, 222) for d in (200, 201, 202)
+    ]
+    bands_old = spark.createDataFrame(
+        old_rows, "doc_id long, band_id int, band_hash long"
+    )
+    stats_old = band_stats(bands_old)
+    new_rows = [(900, 0, 111), (901, 0, 111), (902, 1, 222), (903, 5, 999)]
+    bands_new = spark.createDataFrame(
+        new_rows, "doc_id long, band_id int, band_hash long"
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in probe_band_index(bands_new, bands_old, stats_old, cfg).collect()
+    }
+    # hot bucket: one star edge per new row, to pivot 100
+    # cold bucket: full join (3 old members); unknown bucket 999: nothing
+    assert got == {
+        (100, 900), (100, 901),
+        (200, 902), (201, 902), (202, 902),
+    }
+
+
+def test_probe_block_index_caps_and_filters(spark):
+    from dedup.incremental import probe_block_index
+    from dedup.stages.simhash import block_rows, block_stats
+
+    cfg = DedupConfig(bucket_cap=2, hamming_radius=3, shuffle_partitions=8)
+    # old hot bucket (block 0, val 7): members 10..14 (bsz=5 > cap 2),
+    # pivot 10 with simhash 0
+    sims_old = spark.createDataFrame(
+        [(d, 0, [7]) for d in range(10, 15)],
+        "doc_id long, simhash long, blocks array<long>",
+    )
+    stats = block_stats(sims_old)
+    # new rows: 900 within radius of pivot (popcount(7^0)=3), 901 too far
+    new = spark.createDataFrame(
+        [(900, 7, 0, 7), (901, 255, 0, 7)],
+        "doc_id long, simhash long, block_id int, block_val long",
+    )
+    got = {
+        (r["src"], r["dst"])
+        for r in probe_block_index(
+            new, block_rows(sims_old), stats, cfg
+        ).collect()
+    }
+    assert got == {(10, 900)}  # star edge passes popcount, 901 filtered
+
+
+def test_crash_between_commit_and_ledger_is_recovered(
+    spark, tmp_path, monkeypatch
+):
+    """ADVICE r1 (high): the only remaining crash window is after the atomic
+    catalog commit but before the ledger completion row. A retried ingest
+    must then be a pure no-op: no duplicate index rows, identical clusters
+    to an uninterrupted run."""
+    import dedup.ledger as ledger_mod
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    c = generate_corpus(160, seed=11)
+    fa = c.files.iloc[:120].reset_index(drop=True)
+    fb = c.files.iloc[120:].reset_index(drop=True)
+
+    pipe = Pipeline(spark, cfg, tmp_path / "w")
+    pipe.run(spark.createDataFrame(fa))
+
+    real = ledger_mod.Ledger.mark_completed
+    state = {"crashed": False}
+
+    def flaky(self, id, context_id, result, now, ttl_s):
+        if context_id == "ingest" and not state["crashed"]:
+            state["crashed"] = True
+            raise RuntimeError("simulated crash after catalog commit")
+        return real(self, id, context_id, result, now, ttl_s)
+
+    monkeypatch.setattr(ledger_mod.Ledger, "mark_completed", flaky)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        pipe.ingest(spark.createDataFrame(fb))
+    out = pipe.ingest(spark.createDataFrame(fb)).toPandas()  # retry
+
+    hashed = pipe.store.read(spark, "hashed").toPandas()
+    assert len(hashed) == 160 and hashed.doc_id.is_unique
+    bands = pipe.store.read(spark, "bands").toPandas()
+    assert not bands.duplicated(["doc_id", "band_id"]).any()
+
+    pipe2 = Pipeline(spark, cfg, tmp_path / "w2")
+    pipe2.run(spark.createDataFrame(fa))
+    ref = pipe2.ingest(spark.createDataFrame(fb)).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("doc_id").reset_index(drop=True),
+        ref.sort_values("doc_id").reset_index(drop=True),
+    )

@@ -53,9 +53,10 @@ def _pairs_from_clusters(cl: pd.DataFrame) -> set[tuple[int, int]]:
 
 def _truth_pairs_docids(spark, corpus, run_dir) -> tuple[set, dict]:
     """Planted truth pairs mapped to doc_ids via the Spark-side xxhash64."""
+    from dedup.storage import TableStore
+
     hashed = (
-        spark.read.parquet(str(run_dir / "tables" / "hashed" /
-                               json.loads((run_dir / "tables" / "hashed" / "CURRENT").read_text())["snapshot"]))
+        TableStore(run_dir / "tables").read(spark, "hashed")
         .select("doc_id", "repo", "path", "commit")
         .toPandas()
     )
