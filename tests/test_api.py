@@ -89,3 +89,72 @@ def test_ttl_reruns_expired(spark, tmp_path):  # :183-200
     out = ctx.protect_detailed(_ids(spark, "a"), c2).toPandas()
     assert c2.ids_seen == ["a"]  # expired -> treated as absent -> re-run
     assert out.is_duplicate.tolist() == [False]
+
+
+def test_protect_appends_log_segments_not_rewrites(spark, engine):
+    """VERDICT r1: each protect call must append O(batch) rows, leaving the
+    earlier ledger segments untouched (log-structured, not rewrite-all)."""
+    ctx = engine.context("seg")
+    ctx.protect_detailed(_ids(spark, "a", "b"), CountingCompute())
+    snap1 = engine.store.current_snapshot("_protect_seg")
+    assert "+" not in snap1  # one segment
+    ctx.protect_detailed(_ids(spark, "b", "c"), CountingCompute())
+    snap2 = engine.store.current_snapshot("_protect_seg")
+    assert snap2.startswith(snap1 + "+")  # first segment untouched, appended
+    led = engine.store.read(spark, "_protect_seg").toPandas()
+    assert sorted(led.id) == ["a", "b", "c"]  # only new ids in segment 2
+
+
+def test_compact_folds_log_and_preserves_results(spark, tmp_path):
+    import time
+
+    eng = Deduplication(
+        spark, tmp_path / "p", DedupConfig(ttl_s=0.05)
+    )
+    ctx = eng.context("c")
+    ctx.protect_detailed(_ids(spark, "x", "y"), CountingCompute())
+    time.sleep(0.2)  # both rows expire
+    comp = CountingCompute()
+    ctx.protect_detailed(_ids(spark, "x"), comp)  # recompute appends a row
+    led = eng.store.read(spark, "_protect_c").toPandas()
+    assert len(led) == 3  # log holds both generations of "x"
+    before = ctx._latest_rows().toPandas().sort_values("id").reset_index(drop=True)
+    ctx.compact()
+    led2 = eng.store.read(spark, "_protect_c").toPandas()
+    assert len(led2) == 2  # one row per id after compaction
+    after = ctx._latest_rows().toPandas().sort_values("id").reset_index(drop=True)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(before, after)
+
+
+def test_typed_result_codec_roundtrip_through_ledger(spark, engine):
+    """ResultCodec graft: typed results survive store + replay, and a ledger
+    written under one codec refuses to decode under another."""
+    from dedup import codecs as C
+
+    ctx = engine.context("typed")
+
+    def compute(new_keys):
+        return new_keys.select("id", (F.length("id") * 100).alias("result"))
+
+    out1 = ctx.protect_detailed(
+        _ids(spark, "a", "bb"), compute, result_codec=C.long_codec
+    ).toPandas().set_index("id")
+    assert out1.loc["a", "result"] == 100
+    assert out1.loc["bb", "result"] == 200
+    # replay: decoded back to longs, marked duplicate
+    out2 = ctx.protect_detailed(
+        _ids(spark, "bb", "ccc"), compute, result_codec=C.long_codec
+    ).toPandas().set_index("id")
+    assert bool(out2.loc["bb", "is_duplicate"]) is True
+    assert out2.loc["bb", "result"] == 200
+    assert out2.loc["ccc", "result"] == 300
+    # stored form is tagged
+    led = engine.store.read(spark, "_protect_typed").toPandas()
+    assert all(r.startswith("long:") for r in led.result)
+    # wrong codec on replay -> hard error, not silent reinterpretation
+    with pytest.raises(Exception, match="cannot be decoded"):
+        ctx.protect_detailed(
+            _ids(spark, "bb"), compute, result_codec=C.string_codec
+        ).collect()
