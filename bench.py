@@ -51,71 +51,93 @@ def main() -> int:
     from dedup.pipeline import run_dataframe_pipeline
     from dedup.session import build_session
 
-    config = DedupConfig(shuffle_partitions=int(cpus))
-    spark = build_session(
-        "dedup-bench", master=f"local[{cpus}]", config=config
-    )
-
     timings: dict[str, float] = {}
-
-    def bench(name: str, fn) -> None:
-        t0 = time.perf_counter()
-        fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+    n_rows = int(
+        os.environ.get("SPARK_GRAFT_BENCH_ROWS", _CORPUS_ROWS.get(sf, 4000))
+    )
 
     # --- north-rule workload: full pipeline over a code corpus ------------
     # SPARK_GRAFT_BENCH_ROWS overrides the corpus size (the scaling-evidence
     # harness uses a compute-dominated size so parallel efficiency is
-    # measurable above the fixed per-job latency floor)
-    n_rows = int(
-        os.environ.get("SPARK_GRAFT_BENCH_ROWS", _CORPUS_ROWS.get(sf, 4000))
-    )
-    line_scale = float(os.environ.get("SPARK_GRAFT_BENCH_LINE_SCALE", "1"))
-    corpus = generate_corpus(n_rows, seed=42, line_scale=line_scale)
-    # generation excluded from timing
-    files = spark.createDataFrame(corpus.files)
-    files = files.repartition(int(cpus)).persist()
-    files.count()
-
-    bench("pipeline_code_corpus", lambda: _force(
-        run_dataframe_pipeline(files, config)
-    ))
-    files_per_sec = round(n_rows / timings["pipeline_code_corpus"], 1)
-
-    # pipeline-only mode (scaling harness): skip the operator queries
+    # measurable above the fixed per-job latency floor).
     if os.environ.get("SPARK_GRAFT_BENCH_ONLY") == "pipeline":
+        # pipeline tier (also the scaling harness's unit of work)
+        config = DedupConfig(shuffle_partitions=int(cpus))
+        spark = build_session(
+            "dedup-bench-pipeline", master=f"local[{cpus}]", config=config
+        )
+        line_scale = float(os.environ.get("SPARK_GRAFT_BENCH_LINE_SCALE", "1"))
+        corpus = generate_corpus(n_rows, seed=42, line_scale=line_scale)
+        # generation excluded from timing
+        files = spark.createDataFrame(corpus.files)
+        files = files.repartition(int(cpus)).persist()
+        files.count()
+        t0 = time.perf_counter()
+        _force(run_dataframe_pipeline(files, config))
+        wall = round(time.perf_counter() - t0, 3)
         print(json.dumps({
             "metric": "pipeline_code_corpus",
-            "value": timings["pipeline_code_corpus"],
+            "value": wall,
             "unit": "sec",
-            "queries": timings,
+            "queries": {"pipeline_code_corpus": wall},
             "sf": sf,
             "corpus_rows": n_rows,
-            "files_per_sec": files_per_sec,
+            "files_per_sec": round(n_rows / wall, 1),
             "cpus": int(cpus),
         }))
         spark.stop()
         return 0
 
-    # --- documents near-dup + operator queries ----------------------------
+    # The pipeline runs in a SUBPROCESS (own JVM). Measured local-mode
+    # artifact: after the pandas-UDF-heavy 20k-file pipeline, the SAME JVM
+    # executes later JVM-only queries 2-5x slower with high variance (same
+    # plans, same data — JIT/codegen/allocator wear; spark.stop() does not
+    # help because the py4j gateway keeps the JVM). On a real cluster the
+    # ingest pipeline and the analytics queries never share one executor
+    # JVM lifecycle the way local[] does, so the honest per-query number
+    # comes from separate JVMs.
+    import subprocess
+    env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="pipeline")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        env=env, capture_output=True, text=True, timeout=3600,
+    )
+    line = proc.stdout.strip().splitlines()[-1]
+    pipe = json.loads(line)
+    timings["pipeline_code_corpus"] = pipe["value"]
+    files_per_sec = pipe["files_per_sec"]
+
+    # --- documents near-dup + operator queries (fresh JVM) ----------------
+    config = DedupConfig(shuffle_partitions=int(cpus))
+    spark = build_session(
+        "dedup-bench-queries", master=f"local[{cpus}]", config=config
+    )
+
+    def bench(name: str, fn) -> None:
+        t0 = time.perf_counter()
+        fn()
+        timings[name] = round(time.perf_counter() - t0, 3)
     q = {}
     q.update(dedup_queries.QUERIES)
     q.update(textops.QUERIES)
     q.update(similarity.QUERIES)
     q.update(relational.QUERIES)
     headline = [
-        "neardup_clusters_documents",
-        "exact_dedup_clusters",
-        "ngram_jaccard_pairs",
-        "doc_quality",
-        "embedding_topk_cosine",
-        "embedding_ann_lsh",
+        # JVM-only queries first, pandas-UDF-heavy channels after (UDF
+        # workloads degrade subsequent same-JVM query performance; see
+        # restart_session docstring)
         "q1_pricing_summary",
         "q3_revenue_topk",
         "revenue_by_nation",
         "window_top3_orders_per_cust",
         "sessionize_events",
         "events_daily_agg",
+        "doc_quality",
+        "exact_dedup_clusters",
+        "ngram_jaccard_pairs",
+        "embedding_topk_cosine",
+        "embedding_ann_lsh",
+        "neardup_clusters_documents",
     ]
     for name in headline:
         fn, _sql = q[name]

@@ -41,31 +41,33 @@ _DIM = 64
 _PLANES = np.random.default_rng(42).standard_normal((_DIM, _N_PLANES))
 
 
-def _cosine(a, b):
-    dot = F.aggregate(
+def _norm_col(a):
+    """L2 norm, PRECOMPUTED once per row before any pairwise join — the
+    pair expression then does one fold (the dot) instead of three."""
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+
+
+def _dot(a, b):
+    return F.aggregate(
         F.zip_with(a, b, lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
     )
-    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
-    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
-    return dot / (na * nb)
 
 
-def _sim4(a, b):
-    """Cosine rounded floor-half-up to 4 decimals (engine-neutral ties)."""
-    return F.floor(_cosine(a, b) * 10000 + F.lit(0.5)) / 10000
+def _sim4(a, b, na, nb):
+    """Cosine from a pairwise dot and per-row norms, rounded floor-half-up
+    to 4 decimals (engine-neutral ties). Bit-identical to the inline form:
+    the per-value op sequence is unchanged, just not repeated per pair."""
+    return F.floor(_dot(a, b) / (na * nb) * 10000 + F.lit(0.5)) / 10000
 
 
-_COS_SQL = (
-    "(list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
-    " / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-    "    * sqrt(list_sum(list_transform({b}, x -> x * x)))))"
-)
+_NORM_SQL = "sqrt(list_sum(list_transform({a}, x -> x * x)))"
 
 
-def _sim4_sql(a: str, b: str) -> str:
-    return f"floor({_COS_SQL.format(a=a, b=b)} * 10000 + 0.5) / 10000"
+def _sim4_sql(a: str, b: str, na: str, nb: str) -> str:
+    dot = f"list_sum(list_transform(list_zip({a}, {b}), p -> p[1] * p[2]))"
+    return f"floor({dot} / ({na} * {nb}) * 10000 + 0.5) / 10000"
 
 
 # --------------------------------------------------------- sign bucketing
@@ -125,15 +127,19 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = load_table(spark, sf_dir, "embeddings")
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", vec.alias("v"))
+    base = emb.select("vec_id", vec.alias("v")).withColumn(
+        "nv", _norm_col(F.col("v"))
+    )
     queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv")
+        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
     )
     pairs = base.crossJoin(F.broadcast(queries)).where(
         F.col("vec_id") != F.col("q_id")
     )
     scored = pairs.select(
-        "q_id", "vec_id", _sim4(F.col("qv"), F.col("v")).alias("sim")
+        "q_id", "vec_id",
+        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -144,15 +150,19 @@ def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EMBEDDING_TOPK_SQL = f"""
-WITH base AS (
+WITH base0 AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
   FROM embeddings
 ),
+base AS (
+  SELECT vec_id, v, {_NORM_SQL.format(a='v')} AS nv FROM base0
+),
 queries AS (
-  SELECT vec_id AS q_id, v AS qv FROM base WHERE vec_id % {_QUERY_MOD} = 0
+  SELECT vec_id AS q_id, v AS qv, nv AS nq
+  FROM base WHERE vec_id % {_QUERY_MOD} = 0
 ),
 scored AS (
-  SELECT q.q_id, b.vec_id, {_sim4_sql('q.qv', 'b.v')} AS sim
+  SELECT q.q_id, b.vec_id, {_sim4_sql('q.qv', 'b.v', 'q.nq', 'b.nv')} AS sim
   FROM base b CROSS JOIN queries q
   WHERE b.vec_id != q.q_id
 ),
@@ -178,16 +188,18 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         "vec_id", vec.alias("v"), _bucket_col(vec).alias("bucket")
-    )
-    idx = base.select("vec_id", "v", "bucket")
+    ).withColumn("nv", _norm_col(F.col("v")))
+    idx = base.select("vec_id", "v", "nv", "bucket")
     queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
+        F.col("nv").alias("nq"),
         F.explode(_probes_col(F.col("bucket"))).alias("bucket"),
     )
     cand = idx.join(queries, "bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(
-        "q_id", "vec_id", _sim4(F.col("qv"), F.col("v")).alias("sim")
+        "q_id", "vec_id",
+        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
     ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -203,14 +215,17 @@ WITH base AS (
   FROM embeddings
 ),
 bucketed AS (
-  SELECT vec_id, v, {_bucket_sql('v')} AS bucket FROM base
+  SELECT vec_id, v, {_NORM_SQL.format(a='v')} AS nv,
+         {_bucket_sql('v')} AS bucket
+  FROM base
 ),
 queries AS (
-  SELECT vec_id AS q_id, v AS qv, unnest({_PROBES_SQL}) AS bucket
+  SELECT vec_id AS q_id, v AS qv, nv AS nq, unnest({_PROBES_SQL}) AS bucket
   FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0
 ),
 scored AS (
-  SELECT DISTINCT q.q_id, b.vec_id, {_sim4_sql('q.qv', 'b.v')} AS sim
+  SELECT DISTINCT q.q_id, b.vec_id,
+         {_sim4_sql('q.qv', 'b.v', 'q.nq', 'b.nv')} AS sim
   FROM bucketed b JOIN queries q USING (bucket)
   WHERE b.vec_id != q.q_id
 ),
@@ -237,24 +252,30 @@ def _neardup_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     base = emb.select(
         F.col("vec_id").alias("doc_id"), vec.alias("v"),
         _bucket_col(vec).alias("bucket"),
-    ).persist()
+    ).withColumn("nv", _norm_col(F.col("v"))).persist()
     rows = base.select(
         "doc_id", F.explode(_probes_col(F.col("bucket"))).alias("bucket")
     )
     pairs = pairs_from_buckets(rows, ["bucket"], DedupConfig()).select(
         "src", "dst"
     )
-    vecs = base.select("doc_id", "v")
+    vecs = base.select("doc_id", "v", "nv")
     edges = (
         pairs.join(
-            vecs.select(F.col("doc_id").alias("src"), F.col("v").alias("v_src")),
+            vecs.select(F.col("doc_id").alias("src"),
+                        F.col("v").alias("v_src"), F.col("nv").alias("n_src")),
             "src",
         )
         .join(
-            vecs.select(F.col("doc_id").alias("dst"), F.col("v").alias("v_dst")),
+            vecs.select(F.col("doc_id").alias("dst"),
+                        F.col("v").alias("v_dst"), F.col("nv").alias("n_dst")),
             "dst",
         )
-        .withColumn("sim", _sim4(F.col("v_src"), F.col("v_dst")))
+        .withColumn(
+            "sim",
+            _sim4(F.col("v_src"), F.col("v_dst"),
+                  F.col("n_src"), F.col("n_dst")),
+        )
         .where(F.col("sim") >= tau)
         .select("src", "dst", "sim")
     )
@@ -279,7 +300,9 @@ WITH base AS (
   FROM embeddings
 ),
 bucketed AS (
-  SELECT vec_id AS d, v, {_bucket_sql('v')} AS bucket FROM base
+  SELECT vec_id AS d, v, {_NORM_SQL.format(a='v')} AS nv,
+         {_bucket_sql('v')} AS bucket
+  FROM base
 ),
 rows_ AS (
   SELECT d, unnest({_PROBES_SQL}) AS bucket FROM bucketed
@@ -304,7 +327,7 @@ pairs AS (
   )
 ),
 edges AS (
-  SELECT p.src, p.dst, {_sim4_sql('a.v', 'c.v')} AS sim
+  SELECT p.src, p.dst, {_sim4_sql('a.v', 'c.v', 'a.nv', 'c.nv')} AS sim
   FROM pairs p
   JOIN bucketed a ON a.d = p.src
   JOIN bucketed c ON c.d = p.dst

@@ -164,6 +164,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Token-3-gram Jaccard near-dup pairs (>= 0.15) — the SQL-expressible
     oracle twin of the MinHash/LSH channel (which estimates exactly this)."""
     docs = load_table(spark, sf_dir, "documents")
+    # the gram build (transform + array_distinct over every token window) is
+    # the CPU-heavy part and must NOT run on however few partitions the scan
+    # produced (a small parquet file scans as ONE partition -> one core).
+    # Shuffling the raw text first is cheap; at real scale the scan is
+    # already wide and this coalesces nothing.
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if docs.rdd.getNumPartitions() < n_parts:
+        docs = docs.repartition(n_parts)
     toks = F.split(F.col("text"), " ")
     grams_expr = F.array_distinct(
         F.transform(
@@ -182,22 +190,25 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "grams", F.size("grams").alias("n_grams"))
     )
     ex = g.select("doc_id", "n_grams", F.explode("grams").alias("gram"))
+    # ONE explicit hash shuffle of the exploded gram rows; the DF
+    # aggregation (groupBy on the same key), the hot-gram anti-join
+    # (broadcast -> map-side), and the self-join below all reuse this
+    # partitioning — no second exchange of the gram strings. The explicit
+    # partition count also stops AQE coalescing the self-join whose OUTPUT
+    # explodes quadratically in bucket size: partition for the output.
+    n_parts = int(ex.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    ex = ex.repartition(n_parts, "gram").persist()
     # hot-gram cap: drop grams present in > _NGRAM_DF_CAP docs before the
     # self-join (grams are distinct per doc, so count == doc frequency).
-    # The anti-join shuffles on `gram`, the same key the self-join needs.
+    # Hot grams are few by construction (<= total_gram_rows / cap), so the
+    # anti-join side broadcasts.
     hot = (
         ex.groupBy("gram")
         .agg(F.count(F.lit(1)).alias("df"))
         .where(F.col("df") > _NGRAM_DF_CAP)
         .select("gram")
     )
-    ex = ex.join(hot, "gram", "left_anti")
-    # explicit hash partitioning on the join key: the gram rows are small so
-    # AQE would coalesce the self-join to a handful of partitions, but the
-    # join OUTPUT explodes quadratically in hot-gram bucket size — partition
-    # for the output, not the input.
-    n_parts = ex.sparkSession.conf.get("spark.sql.shuffle.partitions")
-    ex = ex.repartition(int(n_parts), "gram")
+    ex = ex.join(F.broadcast(hot), "gram", "left_anti")
     a = ex.select(
         F.col("doc_id").alias("src"), F.col("n_grams").alias("na"), "gram"
     )
