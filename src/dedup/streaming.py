@@ -80,10 +80,15 @@ def protect_stream_stateful(
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
-            for _, row in pdf.iterrows():
-                ts = row[ts_col]
-                epoch = ts.timestamp()
-                if row[completion_col]:
+            # the state machine is inherently sequential per key (takeovers
+            # reset started_at, affecting later gaps), but the loop runs on
+            # plain numpy scalars — no per-row pandas Series construction
+            ts_vals = pdf[ts_col].to_numpy()
+            epochs = pdf[ts_col].astype("int64").to_numpy() / 1e9
+            comp_vals = pdf[completion_col].to_numpy()
+            for i in range(len(pdf)):
+                epoch = float(epochs[i])
+                if comp_vals[i]:
                     completed = True
                     if started_at is None:
                         started_at = epoch
@@ -98,7 +103,7 @@ def protect_stream_stateful(
                     decision = "takeover"
                 else:
                     decision = "running"
-                out.append((key[0], key[1], ts, decision))
+                out.append((key[0], key[1], ts_vals[i], decision))
         state.update((started_at, completed))
         yield pd.DataFrame(out, columns=["id", "context", "ts", "decision"])
 
