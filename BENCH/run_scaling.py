@@ -51,9 +51,20 @@ def main() -> int:
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.1")
     ap.add_argument("--rows", type=int, default=100_000)
     ap.add_argument("--levels", type=int, nargs="+", default=[2, 8, 32])
+    ap.add_argument("--trials", type=int, default=2,
+                    help="runs per level; the MIN wall is reported (host "
+                         "noise is one-sided: contention only ever adds "
+                         "time, so min estimates the intrinsic cost)")
     args = ap.parse_args()
 
-    runs = {n: run_bench(args.sf_dir, n, args.rows) for n in args.levels}
+    trials = {
+        n: [run_bench(args.sf_dir, n, args.rows) for _ in range(args.trials)]
+        for n in args.levels
+    }
+    runs = {
+        n: min(ts, key=lambda r: r["queries"]["pipeline_code_corpus"])
+        for n, ts in trials.items()
+    }
 
     def eff(small: int, large: int, key: str = "pipeline_code_corpus"):
         t_s = runs[small]["queries"][key]
@@ -73,6 +84,9 @@ def main() -> int:
                 "pipeline_sec": runs[n]["queries"]["pipeline_code_corpus"],
                 "files_per_sec": runs[n]["files_per_sec"],
                 "headline_total_sec": runs[n]["value"],
+                "all_trials_sec": [
+                    t["queries"]["pipeline_code_corpus"] for t in trials[n]
+                ],
             }
             for n in args.levels
         },

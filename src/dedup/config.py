@@ -31,9 +31,11 @@ class DedupConfig:
     lcs_min_chars: int = 60         # absolute LCS floor
     lcs_min_ratio: float = 0.25     # LCS >= ratio * min(len_a, len_b)
     jaccard_floor: float = 0.50     # exact-Jaccard fast-accept threshold
-    # below this exact Jaccard a pair is rejected without the (expensive)
-    # LCS check; at/above it, an LCS hit can still accept the pair (type-3
-    # clones: one large moved block, low shingle overlap)
+    # ANALYSIS anchor (not an execution gate since round 2): the lowest
+    # exact Jaccard at which LCS-acceptable pairs (type-3 clones: one large
+    # moved block) are expected. The verify stage applies the PURE rule
+    # (jaccard OR lcs, no gate); this constant only pins how far below it
+    # the est-Jaccard prefilter must sit (validated in __post_init__).
     lcs_gate_jaccard: float = 0.10
     # JVM-side MinHash-estimate prefilter: pairs with est J below this never
     # reach Python verification. MUST sit below lcs_gate_jaccard by the
@@ -43,6 +45,19 @@ class DedupConfig:
     # With num_perm=128, sd(J=0.10) = sqrt(0.1*0.9/128) = 0.0265 ->
     # gate - 1.5*sd = 0.060.
     prefilter_min_est_jaccard: float = 0.06
+    # --- pre-shuffle LCS fingerprint screen (verify.prepare_pairs) ---
+    # Per doc, k-gram window hashes (width lcs_min_chars, normalized text)
+    # are SAMPLED content-defined (keep h < 2^64/p with p ~ len/fp_budget,
+    # floor fp_min_rate), so two docs sharing a run select the same hashes
+    # within it. A pair whose only accept path is LCS can then be rejected
+    # JVM-side, before its content ever shuffles, when its fingerprint
+    # arrays don't overlap — PROVIDED the expected number of sampled grams
+    # in a threshold-length run, lambda = (threshold - lcs_min + 1)/max(p),
+    # is at least fp_screen_min_lambda (miss probability <= e^-lambda).
+    # Pairs below that lambda (short or length-skewed) are never screened.
+    fp_budget: int = 256            # target fingerprints per doc (~2 KB)
+    fp_min_rate: int = 16           # densest sampling 1-in-16 (short docs)
+    fp_screen_min_lambda: float = 7.0   # e^-7 ~ 0.09% miss, only at the edge
     # --- skew handling ---
     bucket_cap: int = 64            # LSH bucket size above which we star-link
     # hard cap on per-bucket pair emission for sub-cap buckets (C(64,2)=2016
@@ -89,6 +104,17 @@ class DedupConfig:
                 f"bucket_cap-1 ({self.bucket_cap - 1}) to keep a truncated "
                 "bucket's star edges intact (connectivity safety)"
             )
+
+    def jaccard_floor_gate(self) -> float:
+        """est-Jaccard below which the Jaccard accept branch is statistically
+        impossible: 4 sigma under jaccard_floor at this signature length
+        (P < 4e-5 for a true at-floor pair). Shared by the verify stage
+        (skip exact Jaccard) and prepare_pairs (fingerprint screen applies
+        only to pairs whose sole possible accept path is LCS)."""
+        sd = (
+            self.jaccard_floor * (1.0 - self.jaccard_floor) / self.num_perm
+        ) ** 0.5
+        return max(0.0, self.jaccard_floor - 4.0 * sd)
 
     def config_hash(self) -> str:
         """Stable fingerprint of the config — part of lineage rows, and the

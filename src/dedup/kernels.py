@@ -79,6 +79,98 @@ def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     return np.unique(mix64(h))
 
 
+def gram_hashes_positional(text: str, k: int) -> np.ndarray:
+    """64-bit hashes of ALL k-byte grams in position order (duplicates
+    kept): result[i] hashes bytes [i, i+k). Same rolling polynomial +
+    splitmix64 as char_shingle_hashes, WITHOUT the unique() — the verify
+    stage's LCS pigeonhole screen needs aligned positional blocks."""
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    n = data.size
+    if n == 0 or n < k:
+        return np.empty(0, dtype=np.uint64)
+    with _wrap:
+        powers = _poly_powers(k)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    return mix64(h)
+
+
+def _inv64(x: int) -> np.uint64:
+    """Multiplicative inverse of odd x modulo 2^64 (Newton iteration)."""
+    x = np.uint64(x)
+    inv = x
+    with _wrap:
+        for _ in range(6):
+            inv = inv * (np.uint64(2) - x * inv)
+    return inv
+
+
+_FNV_INV = None  # lazily computed inverse of _FNV_PRIME
+
+
+def run_hashes(text: str, L: int) -> np.ndarray:
+    """Rolling hashes of ALL length-L CHAR windows in position order, O(n)
+    regardless of L (prefix sums + modular inverse powers, wraparound-safe
+    in uint64). result[s] hashes text[s:s+L]. Unlike char_shingle_hashes
+    (O(n*k), byte-level, deduped), this supports the verify stage's
+    common-run probe where L can be thousands of chars."""
+    global _FNV_INV
+    codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+    n = codes.size
+    if L <= 0 or n < L:
+        return np.empty(0, dtype=np.uint64)
+    if _FNV_INV is None:
+        _FNV_INV = _inv64(_FNV_PRIME)
+    with _wrap:
+        codes = codes.astype(np.uint64)
+        pw = np.ones(n, dtype=np.uint64)                      # R^i
+        if n > 1:
+            pw[1:] = np.cumprod(np.full(n - 1, _FNV_PRIME, dtype=np.uint64))
+        m = n - L + 1
+        ipw = np.ones(m, dtype=np.uint64)                     # R^-s
+        if m > 1:
+            ipw[1:] = np.cumprod(np.full(m - 1, _FNV_INV, dtype=np.uint64))
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(codes * pw, dtype=np.uint64, out=prefix[1:])
+        h = (prefix[L:] - prefix[:m]) * ipw    # sum a_i R^(i-s), i in [s,s+L)
+    return mix64(h)
+
+
+def has_common_run(a: str, b: str, L: int, max_confirms: int = 32) -> bool:
+    """EXACT decision: does a common substring of length >= L exist?
+
+    O(|a|+|b|) Rabin-Karp window hashing on both sides; every hash hit is
+    CONFIRMED by a direct substring comparison, so collisions can only cost
+    extra work, never a wrong answer. If more than `max_confirms` distinct
+    hit positions all fail to confirm (collision probability ~ nm/2^64 —
+    practically unreachable), falls back to the exact suffix-array LCS.
+    """
+    if L <= 0:
+        return True
+    ha = run_hashes(a, L)
+    hb = run_hashes(b, L)
+    return _confirm_common_run(a, b, L, ha, hb, max_confirms)
+
+
+def _confirm_common_run(
+    a: str, b: str, L: int,
+    ha: np.ndarray, hb: np.ndarray, max_confirms: int = 32,
+) -> bool:
+    """Hit-confirmation half of has_common_run (split out so callers can
+    memoize the window-hash arrays per document)."""
+    if ha.size == 0 or hb.size == 0:
+        return False
+    hits = np.nonzero(np.isin(ha, hb))[0]
+    if hits.size == 0:
+        return False
+    for i in hits[:max_confirms]:
+        if a[int(i):int(i) + L] in b:
+            return True
+    if hits.size > max_confirms:
+        return longest_common_substring(a, b) >= L
+    return False
+
+
 def make_minhash_coeffs(num_perm: int, seed: int) -> tuple[np.ndarray, np.ndarray]:
     """Multiply-shift universal-hash coefficients (A odd, B arbitrary)."""
     rng = np.random.default_rng(seed)

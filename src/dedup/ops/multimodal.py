@@ -56,10 +56,14 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
 
 
 def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
-    """Deterministic stand-in: sha256-seeded feature vector (float32)."""
+    """Deterministic stand-in: sha256-seeded feature vector.
+
+    float64 on purpose: each feature is (uint32 % 10000)/10000.0, exactly
+    representable the same way in the DuckDB oracle, so the whole feature
+    matrix is value-hash comparable across engines."""
     h = hashlib.sha256(kind.encode() + payload).digest()
     raw = np.frombuffer(h * (_FEATURE_DIM * 4 // len(h) + 1), dtype=np.uint32)
-    return (raw[:_FEATURE_DIM] % 10_000).astype(np.float32) / 10_000.0
+    return (raw[:_FEATURE_DIM] % 10_000).astype(np.float64) / 10_000.0
 
 
 def extract_features(
@@ -92,7 +96,7 @@ def extract_features(
         df = df.repartition(batch_partitions)
     return df.mapInPandas(
         _extract,
-        "media_id long, kind string, feature array<float>, payload_bytes long",
+        "media_id long, kind string, feature array<double>, payload_bytes long",
     )
 
 
@@ -126,7 +130,53 @@ SELECT doc_id AS media_id,
 FROM documents
 """
 
+
+# --- full SQL mirror of the fake decoder -----------------------------------
+# feature[j] = (u32_le(digest bytes 4*(j%8) .. +4) % 10000) / 10000.0 where
+# digest = sha256(kind || text). DuckDB's sha256 returns lowercase hex; each
+# byte is reconstructed from its two hex chars via strpos arithmetic.
+
+def _hex_byte_sql(o: int) -> str:
+    """Integer value of digest byte `o` (0-based) from the hex string hx."""
+    hi, lo = 2 * o + 1, 2 * o + 2
+    return (
+        f"((strpos('0123456789abcdef', substr(hx, {hi}, 1)) - 1) * 16"
+        f" + (strpos('0123456789abcdef', substr(hx, {lo}, 1)) - 1))"
+    )
+
+
+def _u32le_sql(o: int) -> str:
+    return "(" + " + ".join(
+        f"{_hex_byte_sql(o + k)} * {1 << (8 * k)}" for k in range(4)
+    ) + ")"
+
+
+_FEATURE_LIST_SQL = "[" + ", ".join(
+    # the 32-byte digest holds 8 uint32s; the python side tiles it, so
+    # feature j reads u32 index j % 8
+    f"(({_u32le_sql(4 * (j % 8))}) % 10000) / 10000.0"
+    for j in range(_FEATURE_DIM)
+) + "]"
+
+MEDIA_FEATURES_SQL = f"""
+WITH m AS (
+  SELECT doc_id AS media_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'image'
+              WHEN doc_id % 3 = 1 THEN 'audio'
+              ELSE 'video' END AS kind,
+         text
+  FROM documents
+),
+hashed AS (
+  SELECT media_id, kind, text, sha256(kind || text) AS hx FROM m
+)
+SELECT media_id, kind,
+       {_FEATURE_LIST_SQL} AS feature,
+       strlen(text) AS payload_bytes
+FROM hashed
+"""
+
 QUERIES = {
-    "media_extract_features": (_media_features_query, None),
+    "media_extract_features": (_media_features_query, MEDIA_FEATURES_SQL),
     "media_dedup_by_payload": (_media_dedup_query, MEDIA_DEDUP_SQL),
 }

@@ -8,8 +8,12 @@ a duplicate claim must be proven against the actual content).
 Per candidate pair, on the normalized contents:
 - exact k-shingle Jaccard (vectorized set intersection of shingle hashes),
 - if Jaccard is inconclusive (below the fast-accept floor but above the
-  reject gate), suffix-array longest-common-substring (kernels.py, prefix
-  doubling + binary-lifting LCP — the SURVEY.md section 7 step-5 kernel).
+  reject gate), an EXACT O(n) common-run probe decides `LCS >= threshold`
+  (Rabin-Karp window hashes memoized per doc + substring-compare
+  confirmation, kernels.run_hashes/_confirm_common_run); the O(n log n)
+  suffix-array LCS (prefix doubling + binary-lifting LCP — the SURVEY.md
+  section 7 step-5 kernel) runs only to record the evidence length for
+  the few pairs the probe accepts.
 
 Accept iff jaccard >= jaccard_floor OR lcs >= max(lcs_min_chars,
 lcs_min_ratio * min(len_a, len_b)).
@@ -27,6 +31,7 @@ from typing import Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from ..config import DedupConfig
 from .. import kernels as K
@@ -36,21 +41,70 @@ _OUT_SCHEMA = (
 )
 
 
+def doc_fingerprints(reps: DataFrame, config: DedupConfig) -> DataFrame:
+    """(doc_id, fp: array<long>, nlen: int) — content-defined sampled
+    fingerprints for the pre-shuffle LCS screen.
+
+    fp holds the width-`lcs_min_chars` window hashes of the NORMALIZED text
+    whose value is below 2^64/p, with p = clamp(nlen / fp_budget,
+    fp_min_rate, ...). Selection depends only on content, so two docs
+    sharing a run select identical hashes inside it; a run of g grams then
+    yields a shared fingerprint with probability 1 - (1 - 1/max(p))^g.
+    One O(n)-per-doc pandas pass — per DOC, never per pair."""
+    width = config.lcs_min_chars
+    budget = config.fp_budget
+    min_rate = config.fp_min_rate
+    norm = config.normalize
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("fp", T.ArrayType(T.LongType())),
+        T.StructField("nlen", T.IntegerType()),
+    ]))
+    def fp_udf(texts: pd.Series) -> pd.DataFrame:
+        import numpy as np
+
+        fps, nlens = [], []
+        for raw in texts:
+            t = K.normalize_text(raw) if norm else raw
+            h = K.run_hashes(t, width)
+            p = max(min_rate, (len(t) + budget - 1) // budget)
+            thr = np.uint64(2**64 // p)
+            sel = np.unique(h[h < thr]).view(np.int64)
+            fps.append(sel.tolist())
+            nlens.append(len(t))
+        return pd.DataFrame({"fp": fps, "nlen": nlens})
+
+    return reps.select("doc_id", fp_udf("content").alias("f")).select(
+        "doc_id", F.col("f.fp").alias("fp"), F.col("f.nlen").alias("nlen")
+    )
+
+
 def prepare_pairs(
     edges: DataFrame, reps: DataFrame, sig_df: DataFrame, config: DedupConfig
 ) -> DataFrame:
-    """One enriched join pass: attach (sig, content) per side, compute the
-    JVM estimated Jaccard, and keep only plausible pairs with their contents
-    — (src, dst, est_jaccard, content_src, content_dst).
+    """Candidate pairs with contents attached, triply pruned BEFORE any
+    content bytes move — (src, dst, est_jaccard, content_src, content_dst):
 
-    Each side is ONE shuffle join against reps+sigs merged (content and
-    signature travel together), instead of separate prefilter and
-    attach-content join rounds. The est filter runs before the second join's
-    output materializes downstream, so hopeless pairs never carry two
-    contents into the verify exchange.
+    1. est-Jaccard prefilter (JVM fold over the signatures): pairs whose
+       estimate sits below prefilter_min_est_jaccard never go further;
+    2. LCS-impossibility: when the estimate also rules out the Jaccard
+       branch (< jaccard_floor_gate), a pair whose LCS threshold exceeds
+       the shorter doc's length is dropped outright;
+    3. fingerprint screen: for the same Jaccard-impossible band, the
+       content-defined sampled fingerprints (doc_fingerprints) must
+       overlap whenever the screen's detection mass
+       lambda = (threshold - width + 1)/max(p_a, p_b) clears
+       fp_screen_min_lambda — pairs failing arrays_overlap are rejected
+       with miss probability <= e^-lambda (config.py). Below the lambda
+       bar (short docs, skewed lengths) the screen abstains.
+
+    Only SURVIVORS join against the content table, so the verify
+    exchange carries ~2 KB of fingerprints per candidate instead of two
+    full contents: this is what keeps the dominant (reject) path's shuffle
+    volume per-candidate-bounded at 100 TB.
     """
-    enriched = reps.select("doc_id", "content").join(
-        sig_df.select("doc_id", "sig"), "doc_id"
+    light = sig_df.select("doc_id", "sig").join(
+        doc_fingerprints(reps, config), "doc_id"
     )
     n = float(config.num_perm)
     est = (
@@ -60,41 +114,115 @@ def prepare_pairs(
             lambda acc, x: acc + x,
         ).cast("double") / F.lit(n)
     )
-    src_side = enriched.select(
+    src_side = light.select(
         F.col("doc_id").alias("src"),
-        F.col("content").alias("content_src"),
         F.col("sig").alias("sig_src"),
+        F.col("fp").alias("fp_src"),
+        F.col("nlen").alias("nlen_src"),
     )
-    dst_side = enriched.select(
+    dst_side = light.select(
         F.col("doc_id").alias("dst"),
-        F.col("content").alias("content_dst"),
         F.col("sig").alias("sig_dst"),
+        F.col("fp").alias("fp_dst"),
+        F.col("nlen").alias("nlen_dst"),
     )
-    return (
+    min_len = F.least("nlen_src", "nlen_dst")
+    threshold = F.greatest(
+        F.lit(config.lcs_min_chars),
+        F.floor(F.lit(config.lcs_min_ratio) * min_len).cast("int"),
+    )
+    rate = lambda c: F.greatest(  # noqa: E731 — mirrors doc_fingerprints
+        F.lit(config.fp_min_rate),
+        F.ceil(F.col(c) / F.lit(config.fp_budget)).cast("int"),
+    )
+    lam = (
+        (threshold - F.lit(config.lcs_min_chars) + 1).cast("double")
+        / F.greatest(rate("nlen_src"), rate("nlen_dst"))
+    )
+    jaccard_possible = F.col("est_jaccard") >= F.lit(config.jaccard_floor_gate())
+    lcs_fits = threshold <= min_len
+    screen_applies = (~jaccard_possible) & lcs_fits & (
+        lam >= F.lit(config.fp_screen_min_lambda)
+    )
+    keep = (
+        jaccard_possible
+        | (lcs_fits & ~screen_applies)
+        | (screen_applies & F.arrays_overlap("fp_src", "fp_dst"))
+    )
+    survivors = (
         edges.join(src_side, "src")
         .join(dst_side, "dst")
         .withColumn("est_jaccard", est)
         .where(F.col("est_jaccard") >= config.prefilter_min_est_jaccard)
+        .where(keep)
+        .select("src", "dst", "est_jaccard")
+    )
+    content = reps.select("doc_id", "content")
+    return (
+        survivors.join(
+            content.select(F.col("doc_id").alias("src"),
+                           F.col("content").alias("content_src")),
+            "src",
+        )
+        .join(
+            content.select(F.col("doc_id").alias("dst"),
+                           F.col("content").alias("content_dst")),
+            "dst",
+        )
         .select("src", "dst", "est_jaccard", "content_src", "content_dst")
     )
 
 
 def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                  num_partitions: int | None = None) -> DataFrame:
-    """Score and filter candidate pairs; returns accepted edges with evidence."""
+    """Score and filter candidate pairs; returns accepted edges with evidence.
+
+    Decision per pair (the PURE documented rule — no Jaccard gate on the
+    LCS path):  accepted iff  exact_jaccard >= jaccard_floor
+                          OR  LCS >= max(lcs_min_chars, lcs_min_ratio*min_len)
+
+    Cost shape (the point of this implementation): the overwhelming
+    majority of candidate pairs are rejects, and a reject must never pay
+    the suffix array or even an O(n) pass it doesn't need:
+      1. exact Jaccard runs only when the MinHash estimate is within 4
+         sigma of the floor (below that, the Jaccard branch provably —
+         P < 4e-5 — cannot accept, and the LCS branch doesn't need j);
+      2. a memoized LEVEL screen (Rabin-Karp window hashes at the largest
+         grid level <= threshold; grid = lcs_min * 1.5^i, so the per-doc
+         memo hits across pairs with different thresholds) rejects pairs
+         with no level-length common run — sound, since a threshold-length
+         run contains a level-length run;
+      3. survivors face the EXACT O(n) probe at the pair's true threshold
+         (kernels._confirm_common_run: hash hits confirmed by substring
+         compare — collisions cost work, never a wrong answer);
+      4. only probe-accepted pairs (real near-dups) pay the O(n log n)
+         suffix array, and only to RECORD the evidence length.
+    Rejected pairs report lcs=0 ("not computed"); pairs skipped by (1)
+    report jaccard=-1.0 ("not computed") — downstream consumes accepted
+    rows only.
+    """
     k = config.shingle_k
     norm = config.normalize
     floor = config.jaccard_floor
-    lcs_gate = config.lcs_gate_jaccard
     lcs_min = config.lcs_min_chars
     lcs_ratio = config.lcs_min_ratio
+    # below this estimate the Jaccard branch cannot realistically accept:
+    # 4 sigma under the floor at the configured signature length
+    est_sd = (floor * (1.0 - floor) / config.num_perm) ** 0.5
+    floor_gate = max(0.0, floor - 4.0 * est_sd)
 
     def _verify(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import numpy as np
 
+        def level_of(threshold: int) -> int:
+            lvl = lcs_min
+            while int(lvl * 1.5) <= threshold:
+                lvl = int(lvl * 1.5)
+            return min(lvl, threshold)
+
         for pdf in batches:
             n = len(pdf)
-            jac = [0.0] * n
+            jac = [-1.0] * n
             lcs = [0] * n
             ok = [False] * n
             # Per-batch memo: a doc (esp. a star pivot) appears in many
@@ -102,35 +230,82 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
             # (src, dst) below gives same-src runs, so hit rates are high.
             texts: dict[int, str] = {}
             shingle_sets: dict[int, "np.ndarray"] = {}
+            level_hashes: dict[tuple[int, int], "np.ndarray"] = {}
 
-            def prep(doc_id: int, raw: str) -> tuple[str, "np.ndarray"]:
+            def text_of(doc_id: int, raw: str) -> str:
                 t = texts.get(doc_id)
                 if t is None:
                     t = K.normalize_text(raw) if norm else raw
                     texts[doc_id] = t
-                    shingle_sets[doc_id] = K.char_shingle_hashes(t, k)
-                return t, shingle_sets[doc_id]
+                return t
+
+            def shingles_of(doc_id: int, text: str) -> "np.ndarray":
+                # LAZY: the k-shingle pass costs O(k*n); ~97% of candidate
+                # pairs sit below the floor gate and never need Jaccard, so
+                # shingling only happens for plausible accepts
+                s = shingle_sets.get(doc_id)
+                if s is None:
+                    s = K.char_shingle_hashes(text, k)
+                    shingle_sets[doc_id] = s
+                return s
+
+            def levelh(doc_id: int, text: str, lvl: int) -> "np.ndarray":
+                key = (doc_id, lvl)
+                h = level_hashes.get(key)
+                if h is None:
+                    h = np.sort(K.run_hashes(text, lvl))
+                    level_hashes[key] = h
+                return h
+
+            def exact_jaccard(sa, sb) -> float:
+                if sa.size == 0 and sb.size == 0:
+                    return 1.0
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                return inter / float(sa.size + sb.size - inter)
 
             src_ids = pdf["src"].to_numpy()
             dst_ids = pdf["dst"].to_numpy()
+            est = (
+                pdf["est_jaccard"].to_numpy()
+                if "est_jaccard" in pdf.columns
+                else np.full(n, 1.0)
+            )
             for i in range(n):
-                ca, sa = prep(src_ids[i], pdf["content_src"].iat[i])
-                cb, sb = prep(dst_ids[i], pdf["content_dst"].iat[i])
-                if sa.size == 0 and sb.size == 0:
-                    j = 1.0
-                else:
-                    inter = np.intersect1d(sa, sb, assume_unique=True).size
-                    j = inter / float(sa.size + sb.size - inter)
-                jac[i] = j
-                if j >= floor:
-                    ok[i] = True
+                ca = text_of(src_ids[i], pdf["content_src"].iat[i])
+                cb = text_of(dst_ids[i], pdf["content_dst"].iat[i])
+                if est[i] >= floor_gate:
+                    j = exact_jaccard(
+                        shingles_of(src_ids[i], ca), shingles_of(dst_ids[i], cb)
+                    )
+                    jac[i] = j
+                    if j >= floor:
+                        ok[i] = True
+                        continue
+                la, lb = len(ca), len(cb)
+                threshold = max(lcs_min, int(lcs_ratio * min(la, lb)))
+                if threshold > min(la, lb):
+                    continue  # LCS can never reach the threshold
+                # sound level screen: no level-length run => no threshold run
+                lvl = level_of(threshold)
+                ha = levelh(src_ids[i], ca, lvl)
+                hb = levelh(dst_ids[i], cb, lvl)
+                if ha.size == 0 or hb.size == 0:
                     continue
-                if j < lcs_gate:
+                pos = np.searchsorted(hb, ha)
+                pos[pos == hb.size] = hb.size - 1
+                if not (hb[pos] == ha).any():
                     continue
+                # exact probe at the pair's true threshold
+                if not K.has_common_run(ca, cb, threshold):
+                    continue
+                # real near-dup: record full evidence
                 ln = K.longest_common_substring(ca, cb)
                 lcs[i] = ln
-                threshold = max(lcs_min, int(lcs_ratio * min(len(ca), len(cb))))
                 ok[i] = ln >= threshold
+                if ok[i] and jac[i] < 0.0:
+                    jac[i] = exact_jaccard(
+                        shingles_of(src_ids[i], ca), shingles_of(dst_ids[i], cb)
+                    )
             yield pd.DataFrame(
                 {"src": pdf["src"], "dst": pdf["dst"], "jaccard": jac,
                  "lcs": lcs, "accepted": ok}

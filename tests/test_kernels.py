@@ -242,3 +242,69 @@ def test_lcs_large_realistic():
     got = K.longest_common_substring(x, y)
     assert got >= 800  # must find the planted block (may extend by chance)
     assert got < 900
+
+
+def test_lcs_pigeonhole_screen_never_false_rejects():
+    """The verify stage's O(n) screen (aligned w-blocks of `a` vs positional
+    w-grams of `b`, w = threshold//2) may only skip the suffix array when
+    LCS < threshold. Property: whenever true LCS >= threshold, the screen
+    says 'possible'."""
+    import numpy as np
+
+    rng = random.Random(5)
+    for trial in range(60):
+        t = rng.randrange(8, 120)
+        w = t // 2
+        block = _rand_text(rng, t + rng.randrange(0, 40))
+        a = _rand_text(rng, rng.randrange(0, 300)) + block + _rand_text(
+            rng, rng.randrange(0, 300))
+        b = _rand_text(rng, rng.randrange(0, 300)) + block + _rand_text(
+            rng, rng.randrange(0, 300))
+        true_lcs = K.longest_common_substring(a, b)
+        assert true_lcs >= t
+        a_blocks = K.gram_hashes_positional(a, w)[::w]
+        b_all = K.gram_hashes_positional(b, w)
+        assert a_blocks.size and b_all.size
+        assert np.isin(a_blocks, b_all).any(), (
+            f"trial {trial}: screen false-rejected LCS {true_lcs} >= {t}"
+        )
+
+
+def test_gram_hashes_positional_matches_substring_identity():
+    import numpy as np
+
+    rng = random.Random(9)
+    text = _rand_text(rng, 400)
+    k = 12
+    h = K.gram_hashes_positional(text, k)
+    assert h.size == len(text.encode()) - k + 1
+    # every k-gram of a substring appears among the full text's grams
+    assert np.isin(K.gram_hashes_positional(text[10:90], k), h).all()
+
+
+@given(
+    st.text(alphabet="abx ", min_size=0, max_size=100),
+    st.text(alphabet="abx ", min_size=0, max_size=100),
+    st.integers(min_value=1, max_value=40),
+)
+@settings(max_examples=150, deadline=None)
+def test_has_common_run_matches_naive_lcs(a, b, L):
+    """The verify decision probe is EXACT: has_common_run(a,b,L) iff the
+    true LCS >= L (small adversarial alphabet maximizes hash-hit volume)."""
+    assert K.has_common_run(a, b, L) == (K.lcs_naive(a, b) >= L)
+
+
+def test_run_hashes_window_identity():
+    rng = random.Random(17)
+    t = _rand_text(rng, 500)
+    for L in (1, 7, 63, 250, 400):
+        h = K.run_hashes(t, L)
+        assert h.size == len(t) - L + 1
+        # equal windows hash equal: plant a repeat (t[100:100+L] needs
+        # 100+L <= len(t))
+        t2 = t + t[100:100 + L]
+        h2 = K.run_hashes(t2, L)
+        assert h2[100] == h2[len(t)]
+    assert K.run_hashes(t, 500).size == 1
+    assert K.run_hashes(t, len(t) + 1).size == 0
+    assert K.run_hashes("", 3).size == 0

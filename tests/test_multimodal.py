@@ -28,7 +28,7 @@ def test_fake_decode_deterministic():
     assert (a == b).all()
     assert not (a == c).all()
     assert a.shape == (_FEATURE_DIM,)
-    assert a.dtype.name == "float32"
+    assert a.dtype.name == "float64"  # double: exact cross-engine value-hash parity
 
 
 def test_extract_features_plumbing(spark):

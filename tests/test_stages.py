@@ -311,3 +311,59 @@ def test_lcs_band_pairs_survive_prefilter(spark):
         for r in SV.verify_edges(pairs, cfg).collect()
     }
     assert all(verdicts.values()), f"LCS path rejected band pairs: {verdicts}"
+
+
+def test_fp_screen_keeps_lcs_pairs_drops_impossible(spark):
+    """Pre-shuffle fingerprint screen (prepare_pairs): pairs whose only
+    accept path is LCS survive when they share a long run; pairs whose LCS
+    threshold exceeds the shorter doc are dropped JVM-side; dissimilar
+    same-length pairs are screened out before content would shuffle."""
+    import random
+    import string
+
+    rng = random.Random(23)
+
+    def rand_text(n):
+        return "".join(
+            rng.choice(string.ascii_lowercase + " ") for _ in range(n)
+        )
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    rows, edges = [], []
+    # (a) type-3-ish: 4000-char docs sharing a 1200-char block
+    #     (threshold = 0.25*4000 = 1000 <= 1200) -> MUST survive
+    block = rand_text(1200)
+    rows += [(0, rand_text(2800) + block), (1, block + rand_text(2800))]
+    edges.append((0, 1))
+    # (b) same sizes, no shared block -> screened out
+    rows += [(2, rand_text(4000)), (3, rand_text(4000))]
+    edges.append((2, 3))
+    # (c) short docs (300 chars) with an 80-char shared block: est-J ~0.14
+    #     passes the prefilter but rules out the Jaccard branch; threshold
+    #     = max(60, 75) = 75, lambda = (75-60+1)/16 = 1 < 7 -> the screen
+    #     must ABSTAIN (too little detection mass) and keep the pair
+    short_block = rand_text(80)
+    rows += [
+        (4, short_block + rand_text(220)),
+        (5, rand_text(220) + short_block),
+    ]
+    edges.append((4, 5))
+    reps = spark.createDataFrame(rows, "doc_id long, content string")
+    sigs = SM.signatures(reps, cfg)
+    edges_df = spark.createDataFrame(edges, "src long, dst long")
+    kept = {
+        (r["src"], r["dst"])
+        for r in SV.prepare_pairs(edges_df, reps, sigs, cfg)
+        .select("src", "dst").collect()
+    }
+    assert (0, 1) in kept, "shared-block pair was screened out"
+    assert (2, 3) not in kept, "dissimilar pair not screened"
+    assert (4, 5) in kept, "low-lambda pair must not be screened"
+    # and the verify stage accepts the planted pair via the LCS path
+    out = {
+        (r["src"], r["dst"]): r["accepted"]
+        for r in SV.verify_edges(
+            SV.prepare_pairs(edges_df, reps, sigs, cfg), cfg
+        ).collect()
+    }
+    assert out[(0, 1)] is True
