@@ -80,7 +80,11 @@ def doc_fingerprints(reps: DataFrame, config: DedupConfig) -> DataFrame:
 
 
 def prepare_pairs(
-    edges: DataFrame, reps: DataFrame, sig_df: DataFrame, config: DedupConfig
+    edges: DataFrame,
+    reps: DataFrame,
+    sig_df: DataFrame,
+    config: DedupConfig,
+    fps: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate pairs with contents attached, triply pruned BEFORE any
     content bytes move — (src, dst, est_jaccard, content_src, content_dst):
@@ -103,9 +107,12 @@ def prepare_pairs(
     full contents: this is what keeps the dominant (reject) path's shuffle
     volume per-candidate-bounded at 100 TB.
     """
-    light = sig_df.select("doc_id", "sig").join(
-        doc_fingerprints(reps, config), "doc_id"
-    )
+    if fps is None:
+        # one pandas pass over the docs; persistent-index callers (the
+        # store-backed pipeline, incremental ingest) pass precomputed fps
+        # so previously-fingerprinted docs are never re-read
+        fps = doc_fingerprints(reps, config)
+    light = sig_df.select("doc_id", "sig").join(fps, "doc_id")
     n = float(config.num_perm)
     est = (
         F.aggregate(
