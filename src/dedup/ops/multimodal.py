@@ -114,7 +114,18 @@ def media_dedup_by_payload(media: DataFrame) -> DataFrame:
 
 
 def _media_features_query(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return extract_features(synthesize_media(spark, sf_dir), fake=True)
+    """Driver-facing projection of extract_features: the `feature`
+    array<double> column is EXPLODED to (media_id, kind, j, feature_j,
+    payload_bytes) rows — the driver's pandas canonicalizer cannot
+    sort/hash array-typed cells (CORRECTNESS_r02: unhashable ndarray), and
+    a long/double row shape is also the layout a downstream feature table
+    would use. j is long on both engines (DuckDB range() yields BIGINT)."""
+    feats = extract_features(synthesize_media(spark, sf_dir), fake=True)
+    return feats.select(
+        "media_id", "kind",
+        F.posexplode("feature").alias("j", "feature_j"),
+        "payload_bytes",
+    ).withColumn("j", F.col("j").cast("long"))
 
 
 def _media_dedup_query(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,11 +180,15 @@ WITH m AS (
 ),
 hashed AS (
   SELECT media_id, kind, text, sha256(kind || text) AS hx FROM m
+),
+feat AS (
+  SELECT media_id, kind,
+         {_FEATURE_LIST_SQL} AS feature,
+         strlen(text) AS payload_bytes
+  FROM hashed
 )
-SELECT media_id, kind,
-       {_FEATURE_LIST_SQL} AS feature,
-       strlen(text) AS payload_bytes
-FROM hashed
+SELECT media_id, kind, j, feature[j::INT + 1] AS feature_j, payload_bytes
+FROM feat CROSS JOIN (SELECT unnest(range(0, {_FEATURE_DIM})) AS j)
 """
 
 QUERIES = {
