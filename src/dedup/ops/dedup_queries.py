@@ -18,7 +18,7 @@ from ..stages import cluster as SC
 from ..stages import minhash_lsh as SM
 from ..stages import simhash as SS
 from ..stages import verify as SV
-from . import load_table
+from . import load_table, oracle_u64
 
 # documents are short (50-550 chars) word-salad rows from a ~40-word vocab:
 # k=5 shingles make the shingle space so small that random pairs average
@@ -108,10 +108,21 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Full value-hash oracles for the signature channels (VERDICT r2 #2/#3):
+# the uint64 kernel chain inlined as literal-constant DuckDB SQL, pair
+# generation mirrored closed-form, clustering via a recursive CTE. The
+# clusters oracle applies the PURE verify rule (jaccard OR common-run);
+# the Spark path's recall-safe screens (est-Jaccard prefilter, fingerprint
+# screen) have bounded-miss probabilities small enough that both sides
+# agree on the test corpora — asserted by the driver gate per round.
+MINHASH_LSH_CANDIDATES_SQL = oracle_u64.minhash_lsh_candidates_sql(DOC_CFG)
+SIMHASH_CANDIDATES_SQL = oracle_u64.simhash_candidates_sql(DOC_CFG)
+NEARDUP_CLUSTERS_SQL = oracle_u64.neardup_clusters_documents_sql(DOC_CFG)
+
 QUERIES = {
     "exact_dedup_clusters": (exact_dedup_clusters, EXACT_DEDUP_SQL),
     "exact_dedup_stats": (exact_dedup_stats, EXACT_STATS_SQL),
-    "minhash_lsh_candidates": (minhash_lsh_candidates, None),
-    "simhash_candidates": (simhash_candidates, None),
-    "neardup_clusters_documents": (neardup_clusters_documents, None),
+    "minhash_lsh_candidates": (minhash_lsh_candidates, MINHASH_LSH_CANDIDATES_SQL),
+    "simhash_candidates": (simhash_candidates, SIMHASH_CANDIDATES_SQL),
+    "neardup_clusters_documents": (neardup_clusters_documents, NEARDUP_CLUSTERS_SQL),
 }

@@ -1,0 +1,331 @@
+"""DuckDB SQL mirrors of the uint64 signature kernels (oracle generators).
+
+The MinHash/LSH and SimHash candidate channels are deterministic functions
+of (text, seed) built from pure 64-bit integer arithmetic (kernels.py:
+rolling polynomial shingle hash -> splitmix64 -> multiply-shift MinHash ->
+FNV band fold / per-bit majority SimHash). This module renders that exact
+chain as single-statement DuckDB SQL so the driver's value-hash gate can
+check the channels end-to-end instead of rows-only (VERDICT r2 #2).
+
+Bit-exactness notes:
+- DuckDB UBIGINT arithmetic RAISES on overflow, so every wraparound
+  multiply routes through HUGEINT with a 32-bit limb split and an explicit
+  `% 2^64`; all intermediates stay below 2^98 << 2^127 (HUGEINT max).
+- xor / >> / & are native on UBIGINT and match numpy uint64 semantics.
+- The MinHash coefficients and all R^j / splitmix constants are computed
+  here (same numpy seed path as kernels.make_minhash_coeffs) and inlined
+  as literals — the proven round-2 pattern from the ANN hyperplane oracle
+  (similarity.py): literals round-trip exactly through both engines.
+- Text normalization (lower + collapse whitespace) matches
+  kernels.normalize_text for ASCII corpora; the synthetic `documents`
+  table is ASCII-only (asserted in tests/test_oracle_u64.py).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .. import kernels as K
+
+_MOD = 1 << 64
+_MASK32 = (1 << 32) - 1
+_FNV = 1099511628211
+_C1 = 0xBF58476D1CE4E5B9
+_C2 = 0x94D049BB133111EB
+_I64_MIN_AS_U64 = 1 << 63
+
+
+def _mulmod_const(x: str, c: int) -> str:
+    """SQL for (x * c) mod 2^64 as UBIGINT; `x` is a UBIGINT expr, c < 2^64.
+
+    32-bit limb split: lo*cl fits 2^64, the cross term fits 2^65 — both
+    inside HUGEINT; the `% 2^32` on the cross term drops the bits that
+    would land at 2^64 and above.
+    """
+    ch, cl = c >> 32, c & _MASK32
+    lo = f"(({x}) & 4294967295)::HUGEINT"
+    hi = f"(({x}) >> 32)::HUGEINT"
+    cross = f"(({hi} * {cl} + {lo} * {ch}) % 4294967296)"
+    return f"((({lo} * {cl} + {cross} * 4294967296) % {_MOD})::UBIGINT)"
+
+
+def _mix64_ctes(prefix: str, src: str, keys: list[str]) -> tuple[str, str]:
+    """CTE chain applying kernels.mix64 (splitmix64 finalizer) to column `h`
+    of `src`, keyed by `keys`. Returns (cte_sql, final_cte_name)."""
+    k = ", ".join(keys)
+    sql = (
+        f"{prefix}_m1 AS (SELECT {k}, xor(h, h >> 30) AS h FROM {src}),\n"
+        f"{prefix}_m2 AS (SELECT {k}, {_mulmod_const('h', _C1)} AS h"
+        f" FROM {prefix}_m1),\n"
+        f"{prefix}_m3 AS (SELECT {k}, xor(h, h >> 27) AS h FROM {prefix}_m2),\n"
+        f"{prefix}_m4 AS (SELECT {k}, {_mulmod_const('h', _C2)} AS h"
+        f" FROM {prefix}_m3),\n"
+        f"{prefix}_m5 AS (SELECT {k}, xor(h, h >> 31) AS h FROM {prefix}_m4)"
+    )
+    return sql, f"{prefix}_m5"
+
+
+def norm_cte(table: str = "documents", id_col: str = "doc_id",
+             text_col: str = "text") -> str:
+    """`norm(doc_id, t)` — kernels.normalize_text for ASCII text."""
+    return (
+        "norm AS (SELECT {i} AS doc_id, trim(regexp_replace(lower({t}),"
+        " '\\s+', ' ', 'g')) AS t FROM {tbl})"
+    ).format(i=id_col, t=text_col, tbl=table)
+
+
+def shingle_ctes(k: int) -> str:
+    """CTEs from `norm` to `shing(doc_id, s)` — the DISTINCT uint64 k-char
+    shingle hashes of the normalized text (kernels.char_shingle_hashes:
+    rolling polynomial over the bytes, splitmix64 finalizer, distinct).
+    Width degrades to LEAST(k, n) so the whole-text fallback for short
+    docs matches the kernel."""
+    rp = "[" + ", ".join(str(pow(_FNV, i, _MOD)) for i in range(k)) + "]::HUGEINT[]"
+    mix_sql, mix_out = _mix64_ctes("sw", "swin0", ["doc_id"])
+    return f"""byt AS (
+  SELECT doc_id, strlen(t) AS n, LEAST({k}, strlen(t)) AS w,
+         list_transform(range(1, strlen(t) + 1),
+                        i -> ord(substr(t, i::INT, 1))::HUGEINT) AS bs,
+         {rp} AS rp
+  FROM norm WHERE strlen(t) > 0
+),
+swin AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, n - w + 1), s ->
+           list_sum(list_transform(range(0, w),
+                                   j -> bs[(s + j + 1)::INT] * rp[(w - j)::INT]))
+         )) AS hraw
+  FROM byt
+),
+swin0 AS (SELECT doc_id, (hraw % {_MOD})::UBIGINT AS h FROM swin),
+{mix_sql},
+shing AS (SELECT DISTINCT doc_id, h AS s FROM {mix_out})"""
+
+
+def minhash_band_ctes(num_perm: int, bands: int, rows_per_band: int,
+                      seed: int) -> str:
+    """CTEs from `shing` to `bands(doc_id, band_id, band_hash)` — the exact
+    LSH band keys of kernels.minhash_batch + band_hashes, band_hash viewed
+    as int64 like the Spark LongType column."""
+    a, b = K.make_minhash_coeffs(num_perm, seed)
+    rows = ", ".join(
+        f"({p}, {int(a[p]) & _MASK32}, {int(a[p]) >> 32}, {int(b[p])})"
+        for p in range(num_perm)
+    )
+    f3, f2, f1 = (pow(_FNV, e, _MOD) for e in (3, 2, 1))
+    assert rows_per_band == 4, "band fold below is unrolled for rows_per_band=4"
+    # limbs of each shingle hash precomputed ONCE, before the perm fan-out —
+    # the cross join below is |shingles| x num_perm rows, the hot loop here.
+    # min(prod) // 2^32 == min(prod // 2^32): floor division is monotone, so
+    # the shift happens once per (doc, perm) instead of once per row.
+    mulshift = (
+        f"(sl * al + (((sh * al + sl * ah) % 4294967296) * 4294967296)"
+        f" + bb) % {_MOD}"
+    )
+    mix_sql, mix_out = _mix64_ctes("bm", "bandraw", ["doc_id", "band_id"])
+    return f"""perms(p, al, ah, bb) AS (VALUES {rows}),
+limbs AS (
+  SELECT doc_id, (s & 4294967295)::HUGEINT AS sl, (s >> 32)::HUGEINT AS sh
+  FROM shing
+),
+sigr AS (
+  SELECT doc_id, p, min({mulshift}) // 4294967296 AS v
+  FROM limbs CROSS JOIN perms
+  GROUP BY doc_id, p
+),
+bandraw AS (
+  SELECT doc_id, p // {rows_per_band} AS band_id,
+         ((sum(v * CASE p % 4 WHEN 0 THEN {f3}::HUGEINT WHEN 1 THEN {f2}
+                   WHEN 2 THEN {f1} ELSE 1 END)) % {_MOD})::UBIGINT AS h
+  FROM sigr GROUP BY doc_id, p // {rows_per_band}
+),
+{mix_sql},
+bands AS (
+  SELECT doc_id, band_id,
+         (h::HUGEINT - CASE WHEN h >= {_I64_MIN_AS_U64} THEN {_MOD}::HUGEINT
+                            ELSE 0 END)::BIGINT AS band_hash
+  FROM {mix_out}
+)"""
+
+
+def simhash_ctes(n_blocks: int) -> str:
+    """CTEs from `shing` to `blk(doc_id, u, block_id, block_val)` — the
+    per-bit-majority SimHash (kernels.simhash64: bit j set iff
+    2*count_of_ones >= n_shingles) and its pigeonhole Hamming blocks
+    (hamming_blocks: width = 64/n_blocks). `u` is the raw uint64 simhash —
+    xor/bit_count on it match the Spark int64 column bit-for-bit."""
+    width = 64 // n_blocks
+    mask = (1 << width) - 1
+    pow2 = "[" + ", ".join(str(1 << j) for j in range(64)) + "]::HUGEINT[]"
+    return f"""scnt AS (SELECT doc_id, count(*) AS tot FROM shing GROUP BY doc_id),
+bitc AS (
+  SELECT doc_id, j, sum(((s >> j::INT) & 1)::BIGINT) AS c
+  FROM shing CROSS JOIN (SELECT unnest(range(0, 64)) AS j)
+  GROUP BY doc_id, j
+),
+sh0 AS (
+  SELECT b.doc_id,
+         (sum(CASE WHEN 2 * c >= tot THEN ({pow2})[(j + 1)::INT]
+                   ELSE 0 END))::UBIGINT AS u
+  FROM bitc b JOIN scnt USING (doc_id) GROUP BY b.doc_id
+),
+blk AS (
+  SELECT doc_id, u, block_id,
+         ((u >> ({width} * block_id)::INT) & {mask})::BIGINT AS block_val
+  FROM sh0 CROSS JOIN (SELECT unnest(range(0, {n_blocks})) AS block_id)
+)"""
+
+
+def pairs_ctes(prefix: str, rows_cte: str, keys: list[str], cap: int,
+               max_pairs: int, payload: str | None = None) -> str:
+    """CTEs mirroring stages.minhash_lsh.pairs_from_buckets over `rows_cte`
+    (which must expose doc_id + `keys` [+ payload]): buckets of size
+    2..cap expand to all (i<j) pairs in sorted-member order, SLICED to the
+    first `max_pairs` (the expansion's pair rank is closed-form from the
+    members' row numbers); hotter buckets emit star edges to the min-doc_id
+    pivot. Final CTE: `{prefix}_pairs(src, dst[, u_src, u_dst])`."""
+    kj = ", ".join(keys)
+    pay_small = f", x.{payload} AS u_src, y.{payload} AS u_dst" if payload else ""
+    pay_big = f", p1.{payload} AS u_src, y.{payload} AS u_dst" if payload else ""
+    pay_out = ", u_src, u_dst" if payload else ""
+    # rank of pair (rn_x < rn_y) in the kernel's flattened expansion
+    # (outer loop i = rn_x-1, inner j > i), 1-based — must be <= max_pairs
+    rank = f"((x.rn - 1) * x.bsz - ((x.rn - 1) * x.rn) // 2 + (y.rn - x.rn))"
+    return f"""{prefix}_buck AS (
+  SELECT {kj}, count(*) AS bsz, min(doc_id) AS pivot
+  FROM {rows_cte} GROUP BY {kj} HAVING count(*) >= 2
+),
+{prefix}_memb AS (
+  SELECT r.*, b.bsz, b.pivot,
+         row_number() OVER (PARTITION BY {kj} ORDER BY doc_id) AS rn
+  FROM {rows_cte} r JOIN {prefix}_buck b USING ({kj})
+),
+{prefix}_small AS (
+  SELECT x.doc_id AS src, y.doc_id AS dst{pay_small}
+  FROM {prefix}_memb x JOIN {prefix}_memb y USING ({kj})
+  WHERE x.bsz <= {cap} AND x.rn < y.rn AND {rank} <= {max_pairs}
+),
+{prefix}_big AS (
+  SELECT y.pivot AS src, y.doc_id AS dst{pay_big}
+  FROM {prefix}_memb y JOIN {prefix}_memb p1
+    ON {" AND ".join(f"p1.{c} = y.{c}" for c in keys)} AND p1.rn = 1
+  WHERE y.bsz > {cap} AND y.doc_id <> y.pivot
+),
+{prefix}_pairs AS (
+  SELECT DISTINCT src, dst{pay_out} FROM (
+    SELECT * FROM {prefix}_small UNION ALL SELECT * FROM {prefix}_big
+  )
+)"""
+
+
+def minhash_lsh_candidates_sql(config) -> str:
+    """Full oracle for dedup_queries.minhash_lsh_candidates."""
+    return f"""WITH {norm_cte()},
+{shingle_ctes(config.shingle_k)},
+{minhash_band_ctes(config.num_perm, config.bands, config.rows_per_band,
+                   config.seed)},
+{pairs_ctes("lp", "bands", ["band_id", "band_hash"], config.bucket_cap,
+            config.max_bucket_pairs)}
+SELECT src, dst FROM lp_pairs"""
+
+
+def simhash_candidates_sql(config) -> str:
+    """Full oracle for dedup_queries.simhash_candidates (pair generation
+    shares pairs_from_buckets with the LSH channel; the Hamming filter
+    applies to star edges too, exactly like stages.simhash.candidate_pairs)."""
+    n_blocks = config.hamming_radius + 1
+    return f"""WITH {norm_cte()},
+{shingle_ctes(config.shingle_k)},
+{simhash_ctes(n_blocks)},
+{pairs_ctes("sp", "blk", ["block_id", "block_val"], config.bucket_cap,
+            config.max_bucket_pairs, payload="u")}
+SELECT src, dst FROM sp_pairs
+WHERE bit_count(xor(u_src, u_dst)) <= {config.hamming_radius}"""
+
+
+def verify_ctes(config) -> str:
+    """CTEs from `cand(src, dst)` + `norm` + `shing` to
+    `vedges(src, dst)` — the PURE verification rule of stages.verify
+    (verify_edges docstring): accepted iff exact shingle Jaccard >=
+    jaccard_floor OR a common substring of length >= max(lcs_min_chars,
+    int(lcs_min_ratio * min_len)) exists. The Jaccard division and the
+    ratio threshold run in float64 on both engines (0.2::DOUBLE, not
+    DuckDB's decimal literal, or int(0.2*115) would differ); the common-run
+    check compares real substrings, so it is exact like the kernel probe."""
+    floor = config.jaccard_floor
+    lcs_min = config.lcs_min_chars
+    ratio = config.lcs_min_ratio
+    return f"""nlen AS (SELECT doc_id, t, strlen(t) AS ln FROM norm),
+ssz AS (SELECT doc_id, count(*) AS ns FROM shing GROUP BY doc_id),
+inter AS (
+  SELECT e.src, e.dst, count(sb.s) AS ic
+  FROM cand e
+  JOIN shing sa ON sa.doc_id = e.src
+  LEFT JOIN shing sb ON sb.doc_id = e.dst AND sb.s = sa.s
+  GROUP BY e.src, e.dst
+),
+scored AS (
+  SELECT i.src, i.dst,
+         i.ic::DOUBLE / (za.ns + zb.ns - i.ic) AS jac,
+         na.t AS ta, nb.t AS tb, na.ln AS la, nb.ln AS lb,
+         greatest({lcs_min},
+                  floor({ratio!r}::DOUBLE * least(na.ln, nb.ln))::BIGINT) AS th
+  FROM inter i
+  JOIN ssz za ON za.doc_id = i.src JOIN ssz zb ON zb.doc_id = i.dst
+  JOIN nlen na ON na.doc_id = i.src JOIN nlen nb ON nb.doc_id = i.dst
+),
+vedges AS (
+  SELECT src, dst FROM scored
+  WHERE jac >= {floor!r}::DOUBLE
+     OR (th <= least(la, lb) AND len(list_intersect(
+           list_transform(range(1, la - th + 2), i -> substr(ta, i::INT, th::INT)),
+           list_transform(range(1, lb - th + 2), i -> substr(tb, i::INT, th::INT))
+         )) > 0)
+)"""
+
+
+def cc_clusters_sql(edges_cte: str, nodes_sql: str, id_out: str) -> str:
+    """Recursive-CTE connected components: min doc_id reachable over the
+    symmetrized `edges_cte(src, dst)` = the large-star/small-star fixpoint
+    of stages.cluster.connected_components. `nodes_sql` must yield one
+    `doc_id` per node (unmatched nodes become their own singleton cluster,
+    like the Spark side's coalesce)."""
+    return f"""sym AS (
+  SELECT src AS a, dst AS b FROM {edges_cte}
+  UNION ALL SELECT dst, src FROM {edges_cte}
+),
+comp(node, root) AS (
+  SELECT doc_id, doc_id FROM ({nodes_sql})
+  UNION
+  SELECT s.b, c.root FROM comp c JOIN sym s ON s.a = c.node
+),
+labels AS (SELECT node AS doc_id, min(root) AS cluster_id FROM comp GROUP BY node)
+SELECT doc_id AS {id_out}, cluster_id,
+       doc_id = cluster_id AS is_canonical
+FROM labels"""
+
+
+def neardup_clusters_documents_sql(config) -> str:
+    """Full oracle for dedup_queries.neardup_clusters_documents: both
+    candidate channels -> union/distinct -> pure verify rule -> connected
+    components -> per-doc labels."""
+    n_blocks = config.hamming_radius + 1
+    return f"""WITH RECURSIVE {norm_cte()},
+{shingle_ctes(config.shingle_k)},
+{minhash_band_ctes(config.num_perm, config.bands, config.rows_per_band,
+                   config.seed)},
+{simhash_ctes(n_blocks)},
+{pairs_ctes("lp", "bands", ["band_id", "band_hash"], config.bucket_cap,
+            config.max_bucket_pairs)},
+{pairs_ctes("sp", "blk", ["block_id", "block_val"], config.bucket_cap,
+            config.max_bucket_pairs, payload="u")},
+cand AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM lp_pairs
+    UNION ALL
+    SELECT src, dst FROM sp_pairs
+    WHERE bit_count(xor(u_src, u_dst)) <= {config.hamming_radius}
+  )
+),
+{verify_ctes(config)},
+{cc_clusters_sql("vedges", "SELECT doc_id FROM documents", "doc_id")}"""

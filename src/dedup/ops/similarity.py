@@ -240,6 +240,12 @@ SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
 
 # ------------------------------------------------- near-dup edges/clusters
 
+# tau / bucket_cap interpolated from the SAME constants the Spark path uses
+# (ADVICE r2: a hardcoded 0.90 / 64 silently diverges if either changes)
+_NEARDUP_TAU = 0.90
+from ..config import DEFAULT_CONFIG as _DC  # noqa: E402 — shared cap source
+
+
 def _neardup_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
     """Accepted similarity edges: multi-probe LSH bucket rows through the
     skew-capped pair generator (stages/minhash_lsh.pairs_from_buckets), exact
@@ -283,7 +289,7 @@ def _neardup_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
 
 
 def embedding_neardup_edges(
-    spark: SparkSession, sf_dir: str, tau: float = 0.90
+    spark: SparkSession, sf_dir: str, tau: float = _NEARDUP_TAU
 ) -> DataFrame:
     """The hashed half of embedding near-dup clustering: the exact edge set
     fed to connected components. Oracle mirrors the bucket join AND the
@@ -294,8 +300,7 @@ def embedding_neardup_edges(
     return edges
 
 
-EMBEDDING_NEARDUP_EDGES_SQL = f"""
-WITH base AS (
+_NEARDUP_EDGES_CTES = f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
   FROM embeddings
 ),
@@ -314,12 +319,12 @@ b AS (
 small AS (
   SELECT r1.d AS src, r2.d AS dst
   FROM rows_ r1 JOIN b USING (bucket) JOIN rows_ r2 USING (bucket)
-  WHERE b.bsz <= 64 AND r1.d < r2.d
+  WHERE b.bsz <= {_DC.bucket_cap} AND r1.d < r2.d
 ),
 big AS (
   SELECT b.pivot AS src, r.d AS dst
   FROM rows_ r JOIN b USING (bucket)
-  WHERE b.bsz > 64 AND r.d != b.pivot
+  WHERE b.bsz > {_DC.bucket_cap} AND r.d != b.pivot
 ),
 pairs AS (
   SELECT DISTINCT src, dst FROM (
@@ -331,13 +336,36 @@ edges AS (
   FROM pairs p
   JOIN bucketed a ON a.d = p.src
   JOIN bucketed c ON c.d = p.dst
-)
-SELECT src, dst, sim FROM edges WHERE sim >= 0.90
+  WHERE {_sim4_sql('a.v', 'c.v', 'a.nv', 'c.nv')} >= {_NEARDUP_TAU!r}
+)"""
+
+EMBEDDING_NEARDUP_EDGES_SQL = f"""
+WITH {_NEARDUP_EDGES_CTES}
+SELECT src, dst, sim FROM edges
+"""
+
+# Recursive-CTE connected components over the already-oracled edge set
+# (VERDICT r2 #3): min-vec_id label propagation converges to the same
+# cluster_id = min(component) the large-star/small-star loop computes.
+EMBEDDING_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_NEARDUP_EDGES_CTES},
+sym AS (
+  SELECT src AS a, dst AS b FROM edges
+  UNION ALL SELECT dst, src FROM edges
+),
+comp(node, root) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT s.b, c.root FROM comp c JOIN sym s ON s.a = c.node
+),
+labels AS (SELECT node, min(root) AS cluster_id FROM comp GROUP BY node)
+SELECT node AS vec_id, cluster_id, node = cluster_id AS is_canonical
+FROM labels
 """
 
 
 def embedding_neardup_clusters(
-    spark: SparkSession, sf_dir: str, tau: float = 0.90
+    spark: SparkSession, sf_dir: str, tau: float = _NEARDUP_TAU
 ) -> DataFrame:
     """Embedding-cosine near-dup dedup: vectors within cosine >= tau form a
     cluster (cluster_id = min vec_id of the connected component).
@@ -368,5 +396,7 @@ QUERIES = {
     "embedding_neardup_edges": (
         embedding_neardup_edges, EMBEDDING_NEARDUP_EDGES_SQL,
     ),
-    "embedding_neardup_clusters": (embedding_neardup_clusters, None),
+    "embedding_neardup_clusters": (
+        embedding_neardup_clusters, EMBEDDING_NEARDUP_CLUSTERS_SQL,
+    ),
 }
