@@ -16,8 +16,9 @@ never re-shingled):
    capped pair generator among themselves (new-vs-new). Probes are
    scale-guarded twice:
    - PARTITION PRUNING: the bands index is hive-partitioned on
-     pbucket = band_hash % N_PBUCKETS, and the probe reads only the
-     pbuckets the batch touches (plan-level PartitionFilters);
+     pbucket = band_hash % N_PBUCKETS and the sim_blocks index on
+     sbucket = block_val % N_SBUCKETS; each probe reads only the
+     buckets the batch touches (plan-level PartitionFilters);
    - SKEW CAP: per-bucket (size, pivot) stats ride with each index; a probe
      against a bucket larger than bucket_cap emits ONE star edge to the
      bucket pivot instead of bsz pairs — the same cap/star treatment the
@@ -196,7 +197,6 @@ def ingest_batch(
     hashed_old = store.read(spark, "hashed")
     reps_old = store.read(spark, "reps")
     sigs_old = store.read(spark, "signatures")
-    sims_old = store.read(spark, "simhashes")
     clusters_old = store.read(spark, "clusters")
     band_stats_old = store.read(spark, "bands_stats")
     sim_stats_old = store.read(spark, "sim_stats")
@@ -236,12 +236,20 @@ def ingest_batch(
     no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
 
     nn_sim = stage_simhash.candidate_pairs(sims_new, config)
-    no_sim = probe_block_index(
-        stage_simhash.block_rows(sims_new),
-        stage_simhash.block_rows(sims_old),
-        sim_stats_old,
-        config,
+
+    # partition-pruned read, mirroring the bands probe above: only the
+    # sbuckets the batch touches reach the sim_blocks scan (the round-2
+    # probe read the whole simhashes table per ingest — O(index) per batch)
+    blocks_new = stage_simhash.with_sbucket(
+        stage_simhash.block_rows(sims_new)
+    ).persist()
+    touched_s = [
+        int(r[0]) for r in blocks_new.select("sbucket").distinct().collect()
+    ]
+    sim_blocks_old = store.read(spark, "sim_blocks").where(
+        F.col("sbucket").isin(touched_s)
     )
+    no_sim = probe_block_index(blocks_new, sim_blocks_old, sim_stats_old, config)
 
     cand = (
         nn_lsh.unionByName(no_lsh).unionByName(nn_sim).unionByName(no_sim)
@@ -320,7 +328,12 @@ def ingest_batch(
             ["pbucket"],
         ),
         "simhashes": store.stage(
-            sims_new.select(*sims_old.columns), "simhashes", "append"
+            sims_new.select("doc_id", "simhash", "blocks"), "simhashes",
+            "append",
+        ),
+        "sim_blocks": store.stage(
+            blocks_new.repartition(F.col("sbucket")), "sim_blocks", "append",
+            ["sbucket"],
         ),
         "bands_stats": store.stage(
             _merge_band_stats(band_stats_old, stage_minhash.band_stats(bands_new)),

@@ -42,7 +42,10 @@ from .stages import verify as stage_verify
 STAGES = ["sha256", "minhash_lsh", "simhash", "verify", "cluster"]
 
 # tables written hive-partitioned so incremental probes can prune the scan
-_PARTITIONED: dict[str, list[str]] = {"bands": ["pbucket"]}
+_PARTITIONED: dict[str, list[str]] = {
+    "bands": ["pbucket"],
+    "sim_blocks": ["sbucket"],
+}
 
 
 def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
@@ -249,7 +252,13 @@ class Pipeline:
         reps = self.store.read(self.spark, "reps")
         sh = stage_simhash.simhashes(reps, self.config).persist()
         return {
-            "simhashes": sh,  # persistent Hamming-block index for increments
+            "simhashes": sh,  # per-doc signature record (lineage/time travel)
+            # the probeable Hamming-block index: exploded rows, hive-
+            # partitioned on sbucket so incremental probes prune the scan
+            # (same layout as `bands`/pbucket)
+            "sim_blocks": stage_simhash.with_sbucket(
+                stage_simhash.block_rows(sh)
+            ).repartition(F.col("sbucket")),
             "sim_stats": stage_simhash.block_stats(sh),
             "edges_simhash": stage_simhash.candidate_pairs(sh, self.config),
         }

