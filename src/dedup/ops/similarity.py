@@ -16,12 +16,14 @@
 Determinism: similarity rounded to 4 decimals (floor-half-up) before ranking
 and thresholding, ties broken by vec_id.
 
-Scale note (VERDICT r1): with _N_PLANES=8 the bucket space is 256 — right
-for the test corpora, a mega-bucket risk at 10^12 rows. The plane count is
-the single knob: production sizing is n_planes ~ log2(N / target_bucket),
-and every consumer below reads _N_PLANES, so widening it is a one-line
-change (the skew-capped pair generator also bounds the damage of any
-residual hot bucket).
+Scale note: with _N_PLANES=8 the bucket space is 256 — right for the test
+corpora, a mega-bucket risk at 10^12 rows. Two defenses (VERDICT r2 #5):
+ann_n_planes sizes the plane count from corpus size
+(n_planes ~ log2(N / target_bucket); every consumer reads _N_PLANES, so
+widening is a one-line change), and the ANN probe join caps the index side
+per bucket (_PROBE_BUCKET_CAP) so a residual hot bucket bounds the join
+output instead of exploding it — the same belt-and-braces treatment the
+near-dup channel gets from the skew-capped pair generator.
 """
 
 from __future__ import annotations
@@ -177,19 +179,42 @@ SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
 
 # ----------------------------------------------------------------- ANN
 
-def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: 8 seeded hyperplanes -> 8-bit sign bucket;
-    candidates only where a query probe bucket (own + Hamming-1) matches an
-    index row's primary bucket, then exact cosine on candidates. At scale the
-    bucket equi-join replaces the quadratic scan. Fully value-hash oracled
-    (literal planes + fold-order-stable projections; see module docstring).
-    """
-    emb = load_table(spark, sf_dir, "embeddings")
+# Per-bucket cap on the INDEX side of the probe join: a mega-bucket (skewed
+# corpus or undersized plane count) can no longer make the equi-join output
+# unbounded — each query probe meets at most this many index rows per
+# bucket (VERDICT r2 #5: `idx.join(queries, "bucket")` had no cap). The
+# retained rows are the bucket's lowest vec_ids (deterministic, mirrored in
+# the oracle); the PRIMARY defense is sizing n_planes so buckets stay far
+# below the cap — see ann_n_planes.
+_PROBE_BUCKET_CAP = 4096
+
+
+def ann_n_planes(corpus_size: int, target_bucket: int = 1024) -> int:
+    """Production plane-count sizing: enough hyperplanes that the EXPECTED
+    bucket occupancy corpus_size / 2^n_planes is at most target_bucket
+    (module docstring scale note). Never below the oracled default of
+    _N_PLANES so small corpora keep the literal-plane configuration."""
+    import math
+
+    if corpus_size <= target_bucket:
+        return _N_PLANES
+    return max(_N_PLANES, math.ceil(math.log2(corpus_size / target_bucket)))
+
+
+def _ann_topk(emb: DataFrame, probe_cap: int = _PROBE_BUCKET_CAP) -> DataFrame:
+    """Hyperplane-LSH ANN core over an `embeddings(vec_id, embedding)`
+    DataFrame; see embedding_ann_lsh."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         "vec_id", vec.alias("v"), _bucket_col(vec).alias("bucket")
     ).withColumn("nv", _norm_col(F.col("v")))
-    idx = base.select("vec_id", "v", "nv", "bucket")
+    wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
+    idx = (
+        base.select("vec_id", "v", "nv", "bucket")
+        .withColumn("brk", F.row_number().over(wb))
+        .where(F.col("brk") <= probe_cap)
+        .drop("brk")
+    )
     queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
@@ -209,6 +234,19 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hyperplane-LSH ANN: 8 seeded hyperplanes -> 8-bit sign bucket;
+    candidates only where a query probe bucket (own + Hamming-1) matches an
+    index row's primary bucket, then exact cosine on candidates. At scale the
+    bucket equi-join replaces the quadratic scan; the index side of the join
+    is capped per bucket (_PROBE_BUCKET_CAP, mirrored in the oracle) so a
+    planted mega-bucket bounds the join output instead of exploding it.
+    Fully value-hash oracled (literal planes + fold-order-stable
+    projections; see module docstring).
+    """
+    return _ann_topk(load_table(spark, sf_dir, "embeddings"))
+
+
 EMBEDDING_ANN_SQL = f"""
 WITH base AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
@@ -223,10 +261,14 @@ queries AS (
   SELECT vec_id AS q_id, v AS qv, nv AS nq, unnest({_PROBES_SQL}) AS bucket
   FROM bucketed WHERE vec_id % {_QUERY_MOD} = 0
 ),
+idx AS (
+  SELECT * FROM bucketed
+  QUALIFY row_number() OVER (PARTITION BY bucket ORDER BY vec_id) <= {_PROBE_BUCKET_CAP}
+),
 scored AS (
   SELECT DISTINCT q.q_id, b.vec_id,
          {_sim4_sql('q.qv', 'b.v', 'q.nq', 'b.nv')} AS sim
-  FROM bucketed b JOIN queries q USING (bucket)
+  FROM idx b JOIN queries q USING (bucket)
   WHERE b.vec_id != q.q_id
 ),
 ranked AS (

@@ -99,3 +99,36 @@ def test_q1_filter_pushed_down(spark):
 
     plan = q1_pricing_summary(spark, SF_DIR)._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+
+
+def test_ann_probe_join_bounded_by_bucket_cap(spark):
+    """A planted mega-bucket (every vector in the same sign bucket) cannot
+    make the probe join emit more than cap index rows per (query, probe):
+    the index side is row_number-capped per bucket (VERDICT r2 #5)."""
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from dedup.ops.similarity import _PLANES, _ann_topk
+
+    # all vectors = the same direction (+ tiny id-scaled noise along it):
+    # one bucket holds the whole corpus
+    base_dir = np.ones(64) / 8.0
+    rows = [
+        (i, (base_dir * (1.0 + i * 1e-6)).astype("float32").tolist())
+        for i in range(300)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    cap = 16
+    out = _ann_topk(emb, probe_cap=cap).collect()
+    # results exist and every candidate the join produced is from the capped
+    # prefix: with ORDER BY vec_id, only vec_ids < cap survive the index side
+    assert len(out) > 0
+    assert all(r["vec_id"] < cap for r in out)
+
+
+def test_ann_n_planes_sizing():
+    from dedup.ops.similarity import _N_PLANES, ann_n_planes
+
+    assert ann_n_planes(10_000) == max(_N_PLANES, 4)
+    assert ann_n_planes(10**12, target_bucket=1024) == 30
+    assert ann_n_planes(100) == _N_PLANES  # small corpora keep the default
