@@ -31,7 +31,12 @@ never re-shingled):
 Crash safety (ADVICE r1, high): every table change of an ingest — index
 appends, stats, clusters — publishes in ONE atomic catalog CAS
 (TableStore.commit_many), so the re-ingest guard (left_anti on `hashed`)
-can never observe a half-committed batch. The only crash window left is
+can never observe a half-committed batch. Concurrency (ADVICE r2): the
+replace-mode payloads (merged stats, recomputed clusters) are guarded by
+the snapshots they were derived from — a racing ingest that commits first
+makes this one fail with StaleReplaceError rather than silently discarding
+the winner's merge; re-running the loser re-reads current state under its
+ledger protection. The only crash window left is
 between the catalog commit and the ledger completion record; a retry then
 recomputes against an index that already contains the batch, which is a
 pure no-op (the guard empties the batch, appends are empty, clusters
@@ -200,6 +205,14 @@ def ingest_batch(
     clusters_old = store.read(spark, "clusters")
     band_stats_old = store.read(spark, "bands_stats")
     sim_stats_old = store.read(spark, "sim_stats")
+    # snapshots the replace-mode payloads below are DERIVED from: the commit
+    # CAS rejects (StaleReplaceError) if any of them moved, instead of
+    # silently installing merges computed from a stale read (ADVICE r2) —
+    # the retried ingest then re-reads and recomputes, ledger-protected
+    replace_base = {
+        t: store.current_snapshot(t)
+        for t in ("bands_stats", "sim_stats", "clusters")
+    }
 
     # -- 1. hash; drop re-ingested natural keys ----------------------------
     # (safe as a re-ingest guard because ingest commits are all-or-nothing:
@@ -263,8 +276,24 @@ def ingest_batch(
     sigs_all = sigs_old.select("doc_id", "sig").unionByName(
         sigs_new.select("doc_id", "sig")
     )
+    # fingerprints are persisted alongside the other indexes so each ingest
+    # fingerprints ONLY its new reps (ADVICE r2: the fps=None default ran
+    # the pandas UDF over the whole corpus per batch); a pre-fingerprint
+    # store is backfilled once, then the table grows by appends
+    fps_new = stage_verify.doc_fingerprints(reps_new, config).persist()
+    if store.exists("fingerprints"):
+        fps_all = store.read(spark, "fingerprints").unionByName(fps_new)
+        fp_stage = ("append", fps_new)
+    else:
+        fps_all = (
+            stage_verify.doc_fingerprints(reps_old, config)
+            .unionByName(fps_new)
+            .persist()
+        )
+        fp_stage = ("replace", fps_all)
     verified = stage_verify.verify_edges(
-        stage_verify.prepare_pairs(cand, reps_all, sigs_all, config),
+        stage_verify.prepare_pairs(cand, reps_all, sigs_all, config,
+                                   fps=fps_all),
         config,
         num_partitions=config.shuffle_partitions,
     ).where("accepted").persist()
@@ -344,8 +373,9 @@ def ingest_batch(
             "sim_stats", "replace",
         ),
         "clusters": store.stage(clusters, "clusters", "replace"),
+        "fingerprints": store.stage(fp_stage[1], "fingerprints", fp_stage[0]),
     }
-    store.commit_many(updates)
+    store.commit_many(updates, expected=replace_base)
     snapshots = {t: store.current_snapshot(t) for t in updates}
     ledger.mark_completed(
         batch_id, _CTX,

@@ -271,11 +271,16 @@ class Pipeline:
             .unionByName(self.store.read(self.spark, "edges_simhash"))
             .dropDuplicates(["src", "dst"])
         )
-        pairs = stage_verify.prepare_pairs(edges, reps, sigs, self.config)
+        # fingerprints persist as their own index table: incremental ingests
+        # then fingerprint only their new reps (ADVICE r2)
+        fps = stage_verify.doc_fingerprints(reps, self.config).persist()
+        pairs = stage_verify.prepare_pairs(edges, reps, sigs, self.config,
+                                           fps=fps)
         verified = stage_verify.verify_edges(
             pairs, self.config, num_partitions=self.config.shuffle_partitions
         )
-        return {"edges_verified": verified.where("accepted")}
+        return {"edges_verified": verified.where("accepted"),
+                "fingerprints": fps}
 
     def _stage_cluster(self) -> dict[str, DataFrame]:
         edges = self.store.read(self.spark, "edges_verified")

@@ -37,6 +37,14 @@ from pyspark.sql import DataFrame, SparkSession
 from .retry import BACKOFF, CommitConflict, RetryStrategy, attempt_with_backoff
 
 
+class StaleReplaceError(RuntimeError):
+    """A replace-mode commit was derived from a table state that is no
+    longer current. Deliberately NOT a CommitConflict: blind retry would
+    re-install a payload computed from the stale read, silently discarding
+    the racing writer's merge (ADVICE r2). The caller must re-derive its
+    replace payload from the current state and commit again."""
+
+
 @dataclass(frozen=True)
 class TableUpdate:
     """A staged change to one table: data already on disk, not yet visible."""
@@ -106,15 +114,38 @@ class TableStore:
 
     # -- commit protocol -------------------------------------------------------
 
-    def commit_many(self, updates: dict[str, TableUpdate]) -> None:
+    def commit_many(
+        self,
+        updates: dict[str, TableUpdate],
+        expected: dict[str, str | None] | None = None,
+    ) -> None:
         """Publish any number of staged updates in ONE atomic catalog CAS.
 
         Append merges against the CURRENT segment list inside the CAS
         attempt, so a retry after losing the race appends to the winner's
-        state instead of clobbering it."""
+        state instead of clobbering it.
+
+        `expected` guards replace-mode read-modify-write payloads (merged
+        stats, recomputed clusters): it maps table -> the snapshot the
+        payload was DERIVED from. If the table moved past that snapshot —
+        whether detected before the CAS or on a retry after losing it —
+        the commit raises StaleReplaceError instead of silently installing
+        data computed from a stale read (ADVICE r2: appends self-heal under
+        retry, replacements don't). Pure-function replaces (the batch
+        pipeline's stage outputs, recomputed from committed inputs) need no
+        guard and pass expected=None."""
 
         def attempt():
             version, tables = self._load_catalog()
+            for name, snap in (expected or {}).items():
+                entry = tables.get(name)
+                cur = None if entry is None else "+".join(entry["segments"])
+                if cur != snap:
+                    raise StaleReplaceError(
+                        f"table {name!r} moved from snapshot {snap!r} to "
+                        f"{cur!r} since this replace payload was derived; "
+                        "re-derive from the current state and retry"
+                    )
             merged = dict(tables)
             for name, u in updates.items():
                 if u.mode == "replace":

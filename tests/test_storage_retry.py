@@ -206,3 +206,28 @@ def test_sim_blocks_probe_partition_pruning(spark, tmp_path):
     read_files = pruned.select(F.input_file_name()).distinct().count()
     assert read_files <= len(touched)
     assert read_files < all_files / 10
+
+
+def test_stale_replace_rejected(spark, tmp_path):
+    """A replace payload derived from a superseded snapshot must NOT commit
+    (ADVICE r2: blind CAS retry would discard the racing writer's merge)."""
+    import pytest as _pytest
+
+    from dedup.storage import StaleReplaceError, TableStore
+
+    store = TableStore(tmp_path / "t")
+    store.write(spark.range(3).toDF("x"), "stats")
+    base = store.current_snapshot("stats")
+    # derived payload staged from `base` ...
+    staged = store.stage(spark.range(5).toDF("x"), "stats", "replace")
+    # ... but a racing writer moves the table first
+    store.write(spark.range(9).toDF("x"), "stats")
+    with _pytest.raises(StaleReplaceError):
+        store.commit_many({"stats": staged}, expected={"stats": base})
+    # the winner's data is intact
+    assert store.read(spark, "stats").count() == 9
+    # re-derived from the CURRENT snapshot -> commits fine
+    cur = store.current_snapshot("stats")
+    staged2 = store.stage(spark.range(5).toDF("x"), "stats", "replace")
+    store.commit_many({"stats": staged2}, expected={"stats": cur})
+    assert store.read(spark, "stats").count() == 5
