@@ -14,6 +14,13 @@ Headline set:
 Every query is forced with a noop-format write so nothing is pruned by the
 final action. Scaling evidence (local[8] vs local[32]) is produced by
 BENCH/run_scaling.py, which invokes this file in subprocesses.
+
+Each tier runs $SPARK_GRAFT_BENCH_TRIALS times (default 2) and the MIN wall
+per query is reported. Host noise here is one-sided — the box intermittently
+loses 40-80% of its throughput for tens of seconds (same code, same data:
+26.2s and 47.2s back-to-back on an idle box), and contention only ever adds
+time — so min-of-trials estimates the intrinsic cost where a single draw can
+read as a phantom 2x regression across rounds.
 """
 
 from __future__ import annotations
@@ -97,19 +104,24 @@ def main() -> int:
     # JVM lifecycle the way local[] does, so the honest per-query number
     # comes from separate JVMs.
     import subprocess
+    trials = int(os.environ.get("SPARK_GRAFT_BENCH_TRIALS", "2"))
     env = dict(os.environ, SPARK_GRAFT_BENCH_ONLY="pipeline")
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__)],
-        env=env, capture_output=True, text=True, timeout=3600,
-    )
-    if proc.returncode != 0 or not proc.stdout.strip():
-        # surface the child's actual failure instead of dying on the parse
-        sys.stderr.write(proc.stderr[-4000:])
-        raise RuntimeError(
-            f"pipeline bench subprocess failed (rc={proc.returncode})"
+    pipe = None
+    for _ in range(trials):
+        proc = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=env, capture_output=True, text=True, timeout=3600,
         )
-    line = proc.stdout.strip().splitlines()[-1]
-    pipe = json.loads(line)
+        if proc.returncode != 0 or not proc.stdout.strip():
+            # surface the child's actual failure instead of dying on the parse
+            sys.stderr.write(proc.stderr[-4000:])
+            raise RuntimeError(
+                f"pipeline bench subprocess failed (rc={proc.returncode})"
+            )
+        line = proc.stdout.strip().splitlines()[-1]
+        got = json.loads(line)
+        if pipe is None or got["value"] < pipe["value"]:
+            pipe = got
     timings["pipeline_code_corpus"] = pipe["value"]
     files_per_sec = pipe["files_per_sec"]
 
@@ -122,7 +134,8 @@ def main() -> int:
     def bench(name: str, fn) -> None:
         t0 = time.perf_counter()
         fn()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        wall = round(time.perf_counter() - t0, 3)
+        timings[name] = min(timings.get(name, wall), wall)
 
     q = {}
     q.update(dedup_queries.QUERIES)
@@ -153,9 +166,10 @@ def main() -> int:
     warm_fn, _ = q["q1_pricing_summary"]
     _force(warm_fn(spark, sf_dir))
 
-    for name in headline:
-        fn, _sql = q[name]
-        bench(name, lambda fn=fn: _force(fn(spark, sf_dir)))
+    for _ in range(trials):
+        for name in headline:
+            fn, _sql = q[name]
+            bench(name, lambda fn=fn: _force(fn(spark, sf_dir)))
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -167,6 +181,8 @@ def main() -> int:
         "corpus_rows": n_rows,
         "files_per_sec": files_per_sec,
         "cpus": int(cpus),
+        "trials": trials,
+        "estimator": "min",
     }))
     spark.stop()
     return 0

