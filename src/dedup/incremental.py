@@ -232,10 +232,12 @@ def ingest_batch(
     fresh = fresh.join(fresh_owner, "sha").persist()
     reps_new = fresh.where(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
 
-    # -- 4. signatures for new reps only ------------------------------------
-    sigs_new = stage_minhash.signatures(reps_new, config).persist()
-    bands_new = stage_minhash.band_rows(sigs_new).persist()
-    sims_new = stage_simhash.simhashes(reps_new, config).persist()
+    # -- 4. signatures for new reps only (one fused UDF pass computes both
+    # channels — content crosses Arrow once; bit-identical outputs) ---------
+    joint_new = stage_minhash.joint_signatures(reps_new, config).persist()
+    sigs_new = joint_new.select("doc_id", "sig")
+    bands_new = stage_minhash.band_rows(joint_new).persist()
+    sims_new = joint_new.select("doc_id", "simhash", "blocks")
 
     # -- 5. candidates: new-new (capped) + new-old (guarded index probe) ----
     nn_lsh = stage_minhash.candidate_pairs(bands_new, config)

@@ -229,6 +229,30 @@ def minhash_batch(
     return out
 
 
+def minhash_simhash_batch(
+    texts: "list[str] | np.ndarray",
+    k: int,
+    a: np.ndarray,
+    b: np.ndarray,
+    normalize: bool = True,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Both signature channels in ONE pass over the batch: normalization and
+    the rolling shingle hash (the per-doc O(n*k) step, shared by MinHash and
+    SimHash) run once instead of once per channel, and the fat `content`
+    column crosses the Arrow boundary once. Outputs are bit-identical to
+    minhash_batch / simhash_batch — the channels differ only in how they
+    fold the SAME shingle-hash set."""
+    sigs = np.empty((len(texts), a.size), dtype=np.uint64)
+    sims = np.empty(len(texts), dtype=np.int64)
+    for i, t in enumerate(texts):
+        if normalize:
+            t = normalize_text(t)
+        hs = char_shingle_hashes(t, k)
+        sigs[i] = minhash_from_hashes(hs, a, b)
+        sims[i] = simhash64(hs)
+    return sigs, sims
+
+
 def band_hashes(signatures: np.ndarray, bands: int, rows_per_band: int) -> np.ndarray:
     """LSH band keys: (n_docs, bands) int64.
 

@@ -59,10 +59,13 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
     hashed = stage_exact.hash_content(files)
     reps = stage_exact.representatives(hashed).persist()
     exact_cl = stage_exact.exact_clusters(hashed)
-    sigs = stage_minhash.signatures(reps, config).persist()
+    # one fused UDF pass computes both signature channels (content crosses
+    # Arrow once, shingle hashing shared) — bit-identical to the separate
+    # minhash/simhash stages of the checkpointed Pipeline
+    sigs = stage_minhash.joint_signatures(reps, config).persist()
     e_lsh = stage_minhash.candidate_pairs(stage_minhash.band_rows(sigs), config)
     e_sim = stage_simhash.candidate_pairs(
-        stage_simhash.simhashes(reps, config), config
+        sigs.select("doc_id", "simhash", "blocks"), config
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
     verified = stage_verify.verify_edges(

@@ -71,6 +71,51 @@ def signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
     )
 
 
+def joint_signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
+    """(doc_id, sig, bands, simhash, blocks) — BOTH signature channels in a
+    single pandas-UDF pass (kernels.minhash_simhash_batch): content crosses
+    Arrow once and the shared shingle hashing runs once, bit-identical to
+    running signatures() and simhash.simhashes() separately.
+
+    Used by the one-shot composition paths (bench pipeline, incremental
+    ingest, query channels); the resumable Pipeline keeps minhash_lsh and
+    simhash as separate checkpointed stages for per-stage resume
+    granularity, at the cost of the second content pass."""
+    k = config.shingle_k
+    bands, rows = config.bands, config.rows_per_band
+    norm = config.normalize
+    n_blocks = config.hamming_radius + 1
+    a, b = K.make_minhash_coeffs(config.num_perm, config.seed)
+
+    @F.pandas_udf(T.StructType([
+        T.StructField("sig", T.ArrayType(T.LongType())),
+        T.StructField("bands", T.ArrayType(T.LongType())),
+        T.StructField("simhash", T.LongType()),
+        T.StructField("blocks", T.ArrayType(T.LongType())),
+    ]))
+    def joint_udf(texts: pd.Series) -> pd.DataFrame:
+        sigs, sims = K.minhash_simhash_batch(
+            texts.tolist(), k, a, b, normalize=norm
+        )
+        bh = K.band_hashes(sigs, bands, rows)
+        blocks = K.hamming_blocks(sims, n_blocks)
+        return pd.DataFrame({
+            "sig": list(sigs.view(np.int64)),
+            "bands": list(bh),
+            "simhash": sims,
+            "blocks": list(blocks),
+        })
+
+    reps = ensure_parallelism(reps, config.shuffle_partitions)
+    return reps.select("doc_id", joint_udf("content").alias("s")).select(
+        "doc_id",
+        F.col("s.sig").alias("sig"),
+        F.col("s.bands").alias("bands"),
+        F.col("s.simhash").alias("simhash"),
+        F.col("s.blocks").alias("blocks"),
+    )
+
+
 def band_rows(sig_df: DataFrame) -> DataFrame:
     """Explode band keys into (doc_id, band_id, band_hash) bucket rows.
     The full `sig` column is deliberately NOT carried: band rows are

@@ -308,3 +308,25 @@ def test_run_hashes_window_identity():
     assert K.run_hashes(t, 500).size == 1
     assert K.run_hashes(t, len(t) + 1).size == 0
     assert K.run_hashes("", 3).size == 0
+
+
+def test_fused_minhash_simhash_bit_identical():
+    """kernels.minhash_simhash_batch must equal the two separate kernels
+    exactly — the fused pass is a physical optimization (one Arrow hop, one
+    shingle hashing), never a semantic change."""
+    import numpy as np
+
+    from dedup import kernels as K
+
+    rng = np.random.default_rng(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(0, 60)))
+        for _ in range(50)
+    ] + ["", "ab", "identical text identical text"] * 2
+    a, b = K.make_minhash_coeffs(128, seed=42)
+    sig_f, sim_f = K.minhash_simhash_batch(texts, 9, a, b, normalize=True)
+    sig_s = K.minhash_batch(texts, 9, a, b, normalize=True)
+    sim_s = K.simhash_batch(texts, 9, normalize=True)
+    assert (sig_f == sig_s).all()
+    assert (sim_f == sim_s).all()
