@@ -12,7 +12,8 @@ Headline set:
 - representative operator queries (aggregation, join, window, text, vector).
 
 Every query is forced with a noop-format write so nothing is pruned by the
-final action. Scaling evidence (local[8] vs local[32]) is produced by
+final action. Scaling evidence (N vs 4N cores: local[1] vs local[4], the
+pair inside this host's flat-memory-bandwidth regime) is produced by
 BENCH/run_scaling.py, which invokes this file in subprocesses.
 
 Each tier runs $SPARK_GRAFT_BENCH_TRIALS times (default 2) and the MIN wall

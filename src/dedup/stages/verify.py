@@ -320,7 +320,19 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
 
     df = pairs_with_content
     if num_partitions:
-        # range partitioning (not hash): pairs sort by (src, dst), so all of
-        # a pivot's edges land contiguously and the per-batch memo hits
-        df = df.repartitionByRange(num_partitions, "src", "dst")
+        # Hash-repartition on BOTH pair ids + sort within partitions:
+        # - hash on (src, dst) load-balances by pair count — a hot pivot's
+        #   edges spread across partitions instead of pinning one straggler
+        #   task (measured 2->8 scaling of this stage before: 0.44);
+        # - sortWithinPartitions restores the contiguity the per-BATCH memo
+        #   needs (the memo dicts live inside the Arrow-batch loop, so
+        #   same-src runs within a partition are what produce hits; a hot
+        #   doc re-normalizes once per partition it lands in — bounded);
+        # - unlike the previous repartitionByRange, a hash exchange needs
+        #   no range-boundary sampling pass, which re-evaluated the whole
+        #   screens + content-join subtree a second time;
+        # - 8x cores in partition count so the scheduler can balance
+        #   residual per-pair cost skew (content lengths vary 40x).
+        df = df.repartition(num_partitions * 8, "src", "dst") \
+               .sortWithinPartitions("src", "dst")
     return df.mapInPandas(_verify, _OUT_SCHEMA)
