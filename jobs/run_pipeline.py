@@ -24,8 +24,9 @@ from pathlib import Path
 def main() -> int:
     ap = argparse.ArgumentParser(description="near-dup detection + clustering")
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="parquet dir/file with columns "
-                                     "(repo, path, commit, lang, content)")
+    src.add_argument("--input", help="corpus source with columns "
+                                     "(repo, path, commit, lang, content); "
+                                     "parquet dir/file, .jsonl, or .csv")
     src.add_argument("--synthetic", type=int, metavar="N",
                      help="generate an N-row planted-clone corpus instead")
     src.add_argument("--ingest", metavar="PARQUET",
@@ -33,6 +34,9 @@ def main() -> int:
                           "columns) against an existing --work-dir index")
     ap.add_argument("--work-dir", required=True,
                     help="checkpoint/output root (ledger + snapshot tables)")
+    ap.add_argument("--format", dest="fmt", default=None,
+                    choices=["parquet", "jsonl", "csv"],
+                    help="override source format (default: by extension)")
     ap.add_argument("--seed", type=int, default=42)
     ap.add_argument("--master", default=None,
                     help="override master (default: env SPARK_GRAFT_MASTER or local[32])")
@@ -60,7 +64,9 @@ def main() -> int:
     t0 = time.time()
     if args.ingest:
         pipe = Pipeline(spark, config, args.work_dir)
-        batch = spark.read.parquet(args.ingest)
+        from dedup.sources import load_corpus
+
+        batch, n_rejected = load_corpus(spark, args.ingest, args.fmt)
         n_batch = batch.count()
         clusters = pipe.ingest(batch)
         wall = time.time() - t0
@@ -70,6 +76,7 @@ def main() -> int:
             "docs_total": clusters.count(),
             "clusters": clusters.select("cluster_id").distinct().count(),
             "wall_s": round(wall, 2),
+            "rejected_rows": n_rejected,
             "work_dir": str(args.work_dir),
         }))
         spark.stop()
@@ -81,8 +88,13 @@ def main() -> int:
         files = spark.createDataFrame(corpus.files)
         n_files = len(corpus.files)
     else:
-        files = spark.read.parquet(args.input)
+        from dedup.sources import load_corpus
+
+        files, n_rejected = load_corpus(spark, args.input, args.fmt)
         n_files = files.count()
+        if n_rejected:
+            print(f"rejected {n_rejected} rows with NULL key/content",
+                  file=sys.stderr)
 
     pipe = Pipeline(spark, config, args.work_dir)
     clusters = pipe.run(files, resume=not args.no_resume)

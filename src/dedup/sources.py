@@ -1,0 +1,105 @@
+"""Corpus sources — read `code_files(repo, path, commit, lang, content)`
+from parquet, JSON-lines, or CSV with one enforced schema.
+
+SURVEY.md §2.2 scans/sources row: the reference has only point reads
+(MeteorProcessRepo.scala:75-84); the engine's scan surface is Spark's
+DataSource API, and the corpus contract (BASELINE.json input_hint) is a
+fixed 5-string-column table. This module pins that contract at the
+boundary so every downstream stage can assume it:
+
+- the schema is DECLARED, not inferred — a JSONL/CSV source never silently
+  widens a column or reorders fields (schema inference is also a full
+  extra pass over TBs of input at scale);
+- extra columns are dropped, missing ones fail fast with a clear error;
+- rows with a NULL natural key or NULL content are counted and excluded
+  (one boundary filter, so stage invariants like "sha256(content) is
+  defined" hold everywhere).
+
+Formats are by extension or explicit `fmt`; directories default to
+parquet (the lake layout). Iceberg note: on a real deployment the parquet
+branch becomes `spark.read.format("iceberg").load(tbl)` — same contract.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CODE_FILES_COLUMNS = ["repo", "path", "commit", "lang", "content"]
+
+CODE_FILES_SCHEMA = T.StructType(
+    [T.StructField(c, T.StringType()) for c in CODE_FILES_COLUMNS]
+)
+
+# natural key + content must be present; `lang` may be unknown (kept NULL)
+_REQUIRED_NONNULL = ["repo", "path", "commit", "content"]
+
+
+def _infer_fmt(path: str) -> str:
+    p = path.rstrip("/").lower()
+    for ext, fmt in ((".jsonl", "jsonl"), (".ndjson", "jsonl"),
+                     (".json", "jsonl"), (".csv", "csv"),
+                     (".parquet", "parquet")):
+        if p.endswith(ext):
+            return fmt
+    return "parquet"
+
+
+def read_code_files(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> DataFrame:
+    """Corpus scan with the declared schema; columns projected and typed.
+
+    Raises ValueError if the source is missing a contract column (parquet
+    only — for jsonl/csv the declared schema makes missing fields NULL,
+    which the validity filter then rejects row-wise).
+    """
+    fmt = fmt or _infer_fmt(path)
+    if fmt == "parquet":
+        df = spark.read.parquet(path)
+        missing = [c for c in CODE_FILES_COLUMNS if c not in df.columns]
+        if missing:
+            raise ValueError(
+                f"code_files source {path!r} is missing columns {missing}; "
+                f"contract is {CODE_FILES_COLUMNS}"
+            )
+        df = df.select(
+            *[F.col(c).cast("string").alias(c) for c in CODE_FILES_COLUMNS]
+        )
+    elif fmt == "jsonl":
+        df = spark.read.schema(CODE_FILES_SCHEMA).json(path)
+    elif fmt == "csv":
+        df = (
+            spark.read.schema(CODE_FILES_SCHEMA)
+            .option("header", "true")
+            .option("multiLine", "true")   # content spans lines
+            .option("escape", '"')
+            .csv(path)
+        )
+    else:
+        raise ValueError(f"unknown code_files format {fmt!r}")
+    return df
+
+
+def valid_code_files(df: DataFrame) -> DataFrame:
+    """Rows satisfying the boundary contract (natural key + content set)."""
+    cond = F.lit(True)
+    for c in _REQUIRED_NONNULL:
+        cond = cond & F.col(c).isNotNull()
+    return df.where(cond)
+
+
+def load_corpus(
+    spark: SparkSession, path: str, fmt: str | None = None
+) -> tuple[DataFrame, int]:
+    """read + validate; returns (valid rows, rejected-row count).
+
+    The reject count is one small aggregate (boundary metric — the graft of
+    the reference's duplicate-callback counting, DeduplicationSuite.scala:
+    138-153, applied to input hygiene); callers log it to `_metrics`.
+    """
+    raw = read_code_files(spark, path, fmt)
+    valid = valid_code_files(raw)
+    n_rejected = raw.count() - valid.count()
+    return valid, n_rejected

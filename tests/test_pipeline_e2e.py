@@ -203,3 +203,18 @@ def test_metrics_and_lineage_written(clusters):
     assert set(STAGES) <= set(lineage.stage)
     assert (metrics.n_rows >= 0).all()
     assert lineage.config_hash.nunique() == 1
+
+
+def test_one_shot_pipeline_matches_checkpointed(spark, tmp_path):
+    """run_dataframe_pipeline (fused signature pass, no store) and
+    Pipeline.run (separate checkpointed minhash/simhash stages) must assign
+    IDENTICAL clusters — the fused kernel is a physical optimization only."""
+    corpus = generate_corpus(400, seed=5)
+    files = spark.createDataFrame(corpus.files)
+    from dedup.pipeline import Pipeline, run_dataframe_pipeline
+
+    one_shot = run_dataframe_pipeline(files, CFG).toPandas()
+    staged = Pipeline(spark, CFG, tmp_path / "w").run(files).toPandas()
+    a = one_shot.sort_values("doc_id").reset_index(drop=True)
+    b = staged.sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b[a.columns])
