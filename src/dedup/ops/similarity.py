@@ -16,14 +16,19 @@
 Determinism: similarity rounded to 4 decimals (floor-half-up) before ranking
 and thresholding, ties broken by vec_id.
 
-Scale note: with _N_PLANES=8 the bucket space is 256 — right for the test
-corpora, a mega-bucket risk at 10^12 rows. Two defenses (VERDICT r2 #5):
-ann_n_planes sizes the plane count from corpus size
-(n_planes ~ log2(N / target_bucket); every consumer reads _N_PLANES, so
-widening is a one-line change), and the ANN probe join caps the index side
-per bucket (_PROBE_BUCKET_CAP) so a residual hot bucket bounds the join
-output instead of exploding it — the same belt-and-braces treatment the
-near-dup channel gets from the skew-capped pair generator.
+Scale note (VERDICT r3 #1 — now WIRED): the plane count is no longer a
+fixed 8. `_ann_topk` and `_neardup_edges` derive
+`n_planes = ann_n_planes(corpus_count)` per run, so the bucket space grows
+with the corpus (expected occupancy <= target_bucket; at 10^12 rows that is
+2^30 buckets, not 256). At the driver tiers (<= 262,144 vectors) the
+derivation returns exactly the oracled default _N_PLANES=8, so the
+literal-plane DuckDB oracles stay bit-exact; the production path widens
+automatically. The probe join additionally caps the index side per bucket
+(_PROBE_BUCKET_CAP) so a residual hot bucket bounds the join output instead
+of exploding it — belt (sizing) and braces (cap). Planes beyond the first 8
+come from a prefix-stable pool (_PLANE_POOL): widening n_planes never
+changes the low bits of any bucket, so an incremental index built at one
+plane count can be re-bucketed by masking, not re-projection.
 """
 
 from __future__ import annotations
@@ -37,10 +42,24 @@ from . import load_table
 _TOPK = 5
 _QUERY_MOD = 50  # vec_id % _QUERY_MOD == 0 rows are the query set
 _N_PLANES = 8
+_MAX_PLANES = 30  # 2^30 buckets ~ 10^12 rows / 1024 target occupancy
 _DIM = 64
 # deterministic hyperplanes; column j is plane j (kept identical to the
 # round-1 numpy formulation: rng.standard_normal((64, n_planes)))
 _PLANES = np.random.default_rng(42).standard_normal((_DIM, _N_PLANES))
+# prefix-stable widening pool: columns 0..7 ARE _PLANES (bit-identical to
+# the oracled literals), columns 8.. are an independent seeded draw. Any
+# n_planes <= _MAX_PLANES slices a prefix, so bucket bit j means the same
+# hyperplane at every plane count.
+_PLANE_POOL = np.concatenate(
+    [
+        _PLANES,
+        np.random.default_rng(43)
+        .standard_normal((_MAX_PLANES - _N_PLANES, _DIM))
+        .T,
+    ],
+    axis=1,
+)
 
 
 def _norm_col(a):
@@ -74,14 +93,15 @@ def _sim4_sql(a: str, b: str, na: str, nb: str) -> str:
 
 # --------------------------------------------------------- sign bucketing
 
-def _bucket_col(vcol):
-    """8-bit hyperplane sign bucket as a JVM expression: per plane, a strict
-    left-fold dot product (same accumulation order as DuckDB's list_sum), bit
-    j set iff dot_j >= 0. Literal coefficients round-trip exactly through
-    both engines' double parsing, so buckets are bit-identical."""
+def _bucket_col(vcol, n_planes: int = _N_PLANES):
+    """n_planes-bit hyperplane sign bucket as a JVM expression: per plane, a
+    strict left-fold dot product (same accumulation order as DuckDB's
+    list_sum), bit j set iff dot_j >= 0. Literal coefficients round-trip
+    exactly through both engines' double parsing, so buckets are
+    bit-identical at the oracled default n_planes=_N_PLANES."""
     bucket = F.lit(0)
-    for j in range(_N_PLANES):
-        plane = F.array(*[F.lit(float(c)) for c in _PLANES[:, j]])
+    for j in range(n_planes):
+        plane = F.array(*[F.lit(float(c)) for c in _PLANE_POOL[:, j]])
         dot = F.aggregate(
             F.zip_with(vcol, plane, lambda x, y: x * y),
             F.lit(0.0),
@@ -91,10 +111,10 @@ def _bucket_col(vcol):
     return bucket.cast("int")
 
 
-def _probes_col(bucket):
+def _probes_col(bucket, n_planes: int = _N_PLANES):
     """Multi-probe buckets: the bucket itself plus all Hamming-1 flips."""
     return F.array(
-        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(_N_PLANES)]
+        bucket, *[bucket.bitwiseXOR(F.lit(1 << i)) for i in range(n_planes)]
     )
 
 
@@ -198,15 +218,30 @@ def ann_n_planes(corpus_size: int, target_bucket: int = 1024) -> int:
 
     if corpus_size <= target_bucket:
         return _N_PLANES
-    return max(_N_PLANES, math.ceil(math.log2(corpus_size / target_bucket)))
+    return min(
+        _MAX_PLANES,
+        max(_N_PLANES, math.ceil(math.log2(corpus_size / target_bucket))),
+    )
 
 
-def _ann_topk(emb: DataFrame, probe_cap: int = _PROBE_BUCKET_CAP) -> DataFrame:
+def _ann_topk(
+    emb: DataFrame,
+    probe_cap: int = _PROBE_BUCKET_CAP,
+    n_planes: int | None = None,
+) -> DataFrame:
     """Hyperplane-LSH ANN core over an `embeddings(vec_id, embedding)`
-    DataFrame; see embedding_ann_lsh."""
+    DataFrame; see embedding_ann_lsh.
+
+    n_planes=None (the production default) sizes the bucket space from the
+    corpus: ann_n_planes(count) keeps expected bucket occupancy bounded, so
+    recall no longer degrades into the probe cap at 100x scale (VERDICT r3
+    #1). The count is one metadata-cheap parquet job; at driver tiers the
+    derivation returns the oracled _N_PLANES=8 exactly."""
+    if n_planes is None:
+        n_planes = ann_n_planes(emb.count())
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
-        "vec_id", vec.alias("v"), _bucket_col(vec).alias("bucket")
+        "vec_id", vec.alias("v"), _bucket_col(vec, n_planes).alias("bucket")
     ).withColumn("nv", _norm_col(F.col("v")))
     wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
     idx = (
@@ -219,7 +254,7 @@ def _ann_topk(emb: DataFrame, probe_cap: int = _PROBE_BUCKET_CAP) -> DataFrame:
         F.col("vec_id").alias("q_id"),
         F.col("v").alias("qv"),
         F.col("nv").alias("nq"),
-        F.explode(_probes_col(F.col("bucket"))).alias("bucket"),
+        F.explode(_probes_col(F.col("bucket"), n_planes)).alias("bucket"),
     )
     cand = idx.join(queries, "bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(
@@ -235,14 +270,15 @@ def _ann_topk(emb: DataFrame, probe_cap: int = _PROBE_BUCKET_CAP) -> DataFrame:
 
 
 def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hyperplane-LSH ANN: 8 seeded hyperplanes -> 8-bit sign bucket;
-    candidates only where a query probe bucket (own + Hamming-1) matches an
-    index row's primary bucket, then exact cosine on candidates. At scale the
-    bucket equi-join replaces the quadratic scan; the index side of the join
-    is capped per bucket (_PROBE_BUCKET_CAP, mirrored in the oracle) so a
-    planted mega-bucket bounds the join output instead of exploding it.
-    Fully value-hash oracled (literal planes + fold-order-stable
-    projections; see module docstring).
+    """Hyperplane-LSH ANN: ann_n_planes(corpus) seeded hyperplanes -> sign
+    bucket (== the oracled 8 at driver tiers); candidates only where a query
+    probe bucket (own + Hamming-1) matches an index row's primary bucket,
+    then exact cosine on candidates. At scale the bucket equi-join replaces
+    the quadratic scan, the bucket space grows with the corpus, and the
+    index side of the join is capped per bucket (_PROBE_BUCKET_CAP, mirrored
+    in the oracle) so a planted mega-bucket bounds the join output instead
+    of exploding it. Fully value-hash oracled (literal planes +
+    fold-order-stable projections; see module docstring).
     """
     return _ann_topk(load_table(spark, sf_dir, "embeddings"))
 
@@ -288,21 +324,30 @@ _NEARDUP_TAU = 0.90
 from ..config import DEFAULT_CONFIG as _DC  # noqa: E402 — shared cap source
 
 
-def _neardup_edges(spark: SparkSession, sf_dir: str, tau: float) -> DataFrame:
+def _neardup_edges(
+    spark: SparkSession,
+    sf_dir: str,
+    tau: float,
+    n_planes: int | None = None,
+) -> DataFrame:
     """Accepted similarity edges: multi-probe LSH bucket rows through the
     skew-capped pair generator (stages/minhash_lsh.pairs_from_buckets), exact
-    rounded cosine, keep sim >= tau."""
+    rounded cosine, keep sim >= tau. n_planes=None sizes the bucket space
+    from the corpus (ann_n_planes; == the oracled 8 at driver tiers)."""
     from ..config import DedupConfig
     from ..stages.minhash_lsh import pairs_from_buckets
 
     emb = load_table(spark, sf_dir, "embeddings")
+    if n_planes is None:
+        n_planes = ann_n_planes(emb.count())
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         F.col("vec_id").alias("doc_id"), vec.alias("v"),
-        _bucket_col(vec).alias("bucket"),
+        _bucket_col(vec, n_planes).alias("bucket"),
     ).withColumn("nv", _norm_col(F.col("v"))).persist()
     rows = base.select(
-        "doc_id", F.explode(_probes_col(F.col("bucket"))).alias("bucket")
+        "doc_id",
+        F.explode(_probes_col(F.col("bucket"), n_planes)).alias("bucket"),
     )
     pairs = pairs_from_buckets(rows, ["bucket"], DedupConfig()).select(
         "src", "dst"
@@ -342,7 +387,8 @@ def embedding_neardup_edges(
     return edges
 
 
-_NEARDUP_EDGES_CTES = f"""base AS (
+def _neardup_edges_ctes(tau: float) -> str:
+    return f"""base AS (
   SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
   FROM embeddings
 ),
@@ -378,19 +424,23 @@ edges AS (
   FROM pairs p
   JOIN bucketed a ON a.d = p.src
   JOIN bucketed c ON c.d = p.dst
-  WHERE {_sim4_sql('a.v', 'c.v', 'a.nv', 'c.nv')} >= {_NEARDUP_TAU!r}
+  WHERE {_sim4_sql('a.v', 'c.v', 'a.nv', 'c.nv')} >= {tau!r}
 )"""
 
-EMBEDDING_NEARDUP_EDGES_SQL = f"""
-WITH {_NEARDUP_EDGES_CTES}
+
+def _neardup_edges_sql(tau: float) -> str:
+    return f"""
+WITH {_neardup_edges_ctes(tau)}
 SELECT src, dst, sim FROM edges
 """
 
-# Recursive-CTE connected components over the already-oracled edge set
-# (VERDICT r2 #3): min-vec_id label propagation converges to the same
-# cluster_id = min(component) the large-star/small-star loop computes.
-EMBEDDING_NEARDUP_CLUSTERS_SQL = f"""
-WITH RECURSIVE {_NEARDUP_EDGES_CTES},
+
+def _neardup_clusters_sql(tau: float) -> str:
+    # Recursive-CTE connected components over the already-oracled edge set
+    # (VERDICT r2 #3): min-vec_id label propagation converges to the same
+    # cluster_id = min(component) the large-star/small-star loop computes.
+    return f"""
+WITH RECURSIVE {_neardup_edges_ctes(tau)},
 sym AS (
   SELECT src AS a, dst AS b FROM edges
   UNION ALL SELECT dst, src FROM edges
@@ -404,6 +454,10 @@ labels AS (SELECT node, min(root) AS cluster_id FROM comp GROUP BY node)
 SELECT node AS vec_id, cluster_id, node = cluster_id AS is_canonical
 FROM labels
 """
+
+
+EMBEDDING_NEARDUP_EDGES_SQL = _neardup_edges_sql(_NEARDUP_TAU)
+EMBEDDING_NEARDUP_CLUSTERS_SQL = _neardup_clusters_sql(_NEARDUP_TAU)
 
 
 def embedding_neardup_clusters(
@@ -432,6 +486,26 @@ def embedding_neardup_clusters(
     )
 
 
+# Gate-tier tau (VERDICT r3 #2): the driver corpora are random vectors
+# (max pairwise cosine ~0.48/0.51 at sf0.001/sf0.01), so the production
+# tau=0.90 channel is hash-verified on an EMPTY edge set — vacuous. The t40
+# variants run the SAME plan at tau=0.40, which yields 22/25 edges and
+# multi-member clusters through the real bucket+cap+CC path at both tiers,
+# making the recursive-CTE oracle comparison non-trivial. Production
+# callers keep _NEARDUP_TAU.
+_GATE_TAU = 0.40
+
+
+def embedding_neardup_edges_t40(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return embedding_neardup_edges(spark, sf_dir, tau=_GATE_TAU)
+
+
+def embedding_neardup_clusters_t40(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return embedding_neardup_clusters(spark, sf_dir, tau=_GATE_TAU)
+
+
 QUERIES = {
     "embedding_topk_cosine": (embedding_topk_cosine, EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, EMBEDDING_ANN_SQL),
@@ -440,5 +514,11 @@ QUERIES = {
     ),
     "embedding_neardup_clusters": (
         embedding_neardup_clusters, EMBEDDING_NEARDUP_CLUSTERS_SQL,
+    ),
+    "embedding_neardup_edges_t40": (
+        embedding_neardup_edges_t40, _neardup_edges_sql(_GATE_TAU),
+    ),
+    "embedding_neardup_clusters_t40": (
+        embedding_neardup_clusters_t40, _neardup_clusters_sql(_GATE_TAU),
     ),
 }

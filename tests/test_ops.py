@@ -127,8 +127,71 @@ def test_ann_probe_join_bounded_by_bucket_cap(spark):
 
 
 def test_ann_n_planes_sizing():
-    from dedup.ops.similarity import _N_PLANES, ann_n_planes
+    from dedup.ops.similarity import _MAX_PLANES, _N_PLANES, ann_n_planes
 
     assert ann_n_planes(10_000) == max(_N_PLANES, 4)
     assert ann_n_planes(10**12, target_bucket=1024) == 30
     assert ann_n_planes(100) == _N_PLANES  # small corpora keep the default
+    assert ann_n_planes(10**18) == _MAX_PLANES  # pool-bounded
+
+
+def _planted_cluster_corpus(tmp_path, noise=0.05, n_centers=40, per=10):
+    import numpy as np
+    import pandas as pd
+
+    rng = np.random.default_rng(7)
+    rows = []
+    vid = 0
+    for c in rng.standard_normal((n_centers, 64)):
+        for _ in range(per):
+            v = c + noise * rng.standard_normal(64)
+            rows.append((vid, (v / np.linalg.norm(v)).astype("float32").tolist()))
+            vid += 1
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding"])
+    d = tmp_path / "widened"
+    d.mkdir()
+    pdf.to_parquet(d / "embeddings.parquet", index=False)
+    return str(d)
+
+
+def test_ann_widened_planes_keep_recall(spark, tmp_path):
+    """VERDICT r3 #1 done-criterion: when the plane count widens beyond the
+    oracled 8 (the production ann_n_planes path at large corpora), ANN recall
+    vs brute-force top-5 must hold — the bucket space growing must not
+    degrade into the probe cap. Planted clusters (sim ~0.995 within), planes
+    12 and 14 (4096 / 16384 buckets for 400 vectors)."""
+    d = _planted_cluster_corpus(tmp_path)
+    from dedup.ops import load_table
+    from dedup.ops.similarity import _ann_topk, embedding_topk_cosine
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in embedding_topk_cosine(spark, d).collect()
+    }
+    assert exact
+    emb = load_table(spark, d, "embeddings")
+    for n_planes in (12, 14):
+        got = {
+            (r["q_id"], r["vec_id"])
+            for r in _ann_topk(emb, n_planes=n_planes).collect()
+        }
+        recall = len(exact & got) / len(exact)
+        assert recall >= 0.9, f"n_planes={n_planes}: recall {recall:.3f}"
+
+
+def test_ann_derives_plane_count_from_corpus(spark, tmp_path):
+    """The query path calls ann_n_planes(count): at driver-tier sizes the
+    derivation returns the oracled 8, so _ann_topk(emb) must be row-identical
+    to the explicit literal-8 run (hash-gate safety), and the plane pool must
+    be prefix-stable so bucket bit j never changes meaning as planes widen."""
+    import numpy as np
+
+    d = _planted_cluster_corpus(tmp_path)
+    from dedup.ops import load_table
+    from dedup.ops.similarity import _ann_topk, _PLANE_POOL, _PLANES
+
+    np.testing.assert_array_equal(_PLANE_POOL[:, : _PLANES.shape[1]], _PLANES)
+    emb = load_table(spark, d, "embeddings")
+    derived = sorted(map(tuple, _ann_topk(emb).collect()))
+    literal8 = sorted(map(tuple, _ann_topk(emb, n_planes=8).collect()))
+    assert derived == literal8
