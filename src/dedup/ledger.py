@@ -22,10 +22,12 @@ different contexts never interact.
 
 from __future__ import annotations
 
+import fcntl
 import json
 import os
 import time
 import uuid
+from contextlib import contextmanager
 from dataclasses import asdict, dataclass
 from enum import Enum
 from pathlib import Path
@@ -106,9 +108,14 @@ class Ledger:
     """File-backed ledger with atomic claim semantics.
 
     One JSON file per (context_id, id); claims use O_CREAT|O_EXCL so exactly
-    one contender wins a new key (the single-driver analogue of the DynamoDB
-    conditional write — on a real deployment this module is replaced by
-    Iceberg MERGE INTO with serializable snapshot isolation).
+    one contender wins a new key, and the read-modify-write operations
+    (attempt_replacing, mark_completed) serialize on a per-key flock so the
+    started_at CAS is atomic across PROCESSES, not just within one — the
+    single-HOST analogue of the DynamoDB conditional write, demonstrated by
+    the N-process contention tests in tests/test_ledger.py (mirror of
+    DeduplicationSuite.scala:83-119's 100-contender suite). Cross-machine
+    deployments replace this module with Iceberg MERGE INTO / DynamoDB;
+    flock is advisory, which suffices because every writer is this class.
     """
 
     def __init__(self, root: str | os.PathLike):
@@ -119,13 +126,28 @@ class Ledger:
         safe = f"{context_id}__{id}".replace("/", "_").replace(":", "_")
         return self.root / f"{safe}.json"
 
+    @contextmanager
+    def _key_lock(self, path: Path):
+        """Exclusive per-key advisory lock (sidecar `.lock` file, so `rows()`
+        globbing *.json never sees it). Held across read-check-write so two
+        processes cannot both pass the same CAS precondition."""
+        lock = path.with_name(path.name + ".lock")
+        fd = os.open(lock, os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
+
     # -- R8: point lookup (ProcessRepo.scala:62-65) ------------------------
 
     def get(self, id: str, context_id: str) -> Process | None:
         p = self._key_path(id, context_id)
-        if not p.exists():
+        try:
+            d = json.loads(p.read_text())
+        except FileNotFoundError:
             return None
-        d = json.loads(p.read_text())
         return Process(**d)
 
     # -- R6: atomic insert-or-peek (ProcessRepo.scala:31-35) ---------------
@@ -133,15 +155,22 @@ class Ledger:
     def create(self, id: str, context_id: str, now: float) -> Process | None:
         """Claim the key if new (returns None, like the reference's ALL_OLD
         empty response); otherwise return the existing row UNMODIFIED
-        (MeteorProcessRepoSuite 'create never mutates existing')."""
+        (MeteorProcessRepoSuite 'create never mutates existing').
+
+        Publication is an os.link CAS from a fully-written tmp file, so the
+        row is never visible half-written: the earlier O_CREAT|O_EXCL +
+        write form let a racing get() read an empty file between claim and
+        content (caught by the N-process contention test)."""
         path = self._key_path(id, context_id)
         row = Process(id=id, context_id=context_id, started_at=now)
+        tmp = path.with_name(f".claim-{uuid.uuid4().hex[:8]}")
+        tmp.write_text(json.dumps(asdict(row)))
         try:
-            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.link(tmp, path)
         except FileExistsError:
             return self.get(id, context_id)
-        with os.fdopen(fd, "w") as f:
-            json.dump(asdict(row), f)
+        finally:
+            tmp.unlink()
         return None
 
     # -- R7: phase-2 commit (ProcessRepo.scala:47-53) ----------------------
@@ -154,16 +183,19 @@ class Ledger:
         now: float,
         ttl_s: float | None,
     ) -> None:
-        existing = self.get(id, context_id)
-        started = existing.started_at if existing else now
-        row = Process(
-            id=id,
-            context_id=context_id,
-            started_at=started,
-            expires_on=(now + ttl_s) if ttl_s is not None else None,
-            result=json.dumps(result) if isinstance(result, dict) else result,
-        )
-        self._atomic_write(self._key_path(id, context_id), row)
+        path = self._key_path(id, context_id)
+        with self._key_lock(path):
+            existing = self.get(id, context_id)
+            started = existing.started_at if existing else now
+            row = Process(
+                id=id,
+                context_id=context_id,
+                started_at=started,
+                expires_on=(now + ttl_s) if ttl_s is not None else None,
+                result=json.dumps(result) if isinstance(result, dict)
+                else result,
+            )
+            self._atomic_write(path, row)
 
     # -- R9: CAS takeover (ProcessRepo.scala:84-89) ------------------------
 
@@ -172,13 +204,20 @@ class Ledger:
     ) -> bool:
         """Reset the claim iff started_at still equals old_started_at; clears
         result and expiry like the reference's REMOVE #result, #expiresOn
-        (MeteorProcessRepo.scala:98-110). Returns False on CAS failure."""
-        existing = self.get(id, context_id)
-        if existing is None or existing.started_at != old_started_at:
-            return False
-        row = Process(id=id, context_id=context_id, started_at=new_started_at)
-        self._atomic_write(self._key_path(id, context_id), row)
-        return True
+        (MeteorProcessRepo.scala:98-110). Returns False on CAS failure.
+        The check-and-write holds the per-key lock, so among N concurrent
+        takeover attempts from the same old_started_at exactly one wins —
+        the property DynamoDB's conditional write gives the reference."""
+        path = self._key_path(id, context_id)
+        with self._key_lock(path):
+            existing = self.get(id, context_id)
+            if existing is None or existing.started_at != old_started_at:
+                return False
+            row = Process(
+                id=id, context_id=context_id, started_at=new_started_at
+            )
+            self._atomic_write(path, row)
+            return True
 
     # -- R10 over the store -------------------------------------------------
 
