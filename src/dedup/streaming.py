@@ -51,13 +51,14 @@ def protect_stream_stateful(
     ts_col: str = "ts",
     completion_col: str = "is_completion",
     max_processing_time_s: float = 3600.0,
+    result_col: str | None = None,
 ) -> DataFrame:
     """Full keyed-idempotency state machine as a stateful streaming operator.
 
     The complete graft of the reference's protect lifecycle
     (DeduplicationContext.scala:113-216) onto applyInPandasWithState: per
-    (id, context) key the state is (started_at, completed) and each arriving
-    attempt is classified with the reference's precedence:
+    (id, context) key the state is (started_at, completed, result) and each
+    arriving attempt is classified with the reference's precedence:
 
       no state                         -> 'new'        (claim + run)
       state.completed                  -> 'duplicate'  (stored result replay)
@@ -66,7 +67,12 @@ def protect_stream_stateful(
 
     Events with `completion_col` true mark the key completed ('completed'
     decision) — the markAsCompleted phase-2 commit (MeteorProcessRepo.scala:46-73).
-    Output: (id, context, ts, decision).
+    If `result_col` names a column, a completion's payload is persisted in
+    state and REPLAYED to every later duplicate arrival — protect(id, fa)
+    returns the first winner's stored value to all callers, not just a
+    'duplicate' label (DeduplicationContext.scala:163-167).
+    Output: (id, context, ts, decision, result) — result is the stored
+    payload on 'completed'/'duplicate' rows, null otherwise.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
@@ -74,9 +80,9 @@ def protect_stream_stateful(
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
         if state.exists:
-            started_at, completed = state.get
+            started_at, completed, result = state.get
         else:
-            started_at, completed = None, False
+            started_at, completed, result = None, False, None
         out = []
         for pdf in pdfs:
             pdf = pdf.sort_values(ts_col)
@@ -86,39 +92,59 @@ def protect_stream_stateful(
             ts_vals = pdf[ts_col].to_numpy()
             epochs = pdf[ts_col].astype("int64").to_numpy() / 1e9
             comp_vals = pdf[completion_col].to_numpy()
+            res_vals = pdf["result"].to_numpy(dtype=object)
             for i in range(len(pdf)):
                 epoch = float(epochs[i])
+                emitted = None
                 if comp_vals[i]:
                     completed = True
                     if started_at is None:
                         started_at = epoch
+                    # first completion wins; later completions replay it
+                    # (the reference's conditional write keeps the stored row)
+                    if result is None:
+                        result = res_vals[i]
+                    emitted = result
                     decision = "completed"
                 elif started_at is None:
                     started_at = epoch
                     decision = "new"
                 elif completed:
+                    emitted = result  # stored-result replay
                     decision = "duplicate"
                 elif epoch - started_at > max_processing_time_s:
                     started_at = epoch  # CAS takeover resets the claim
                     decision = "takeover"
                 else:
                     decision = "running"
-                out.append((key[0], key[1], ts_vals[i], decision))
-        state.update((started_at, completed))
-        yield pd.DataFrame(out, columns=["id", "context", "ts", "decision"])
+                out.append((key[0], key[1], ts_vals[i], decision, emitted))
+        state.update((started_at, completed, result))
+        yield pd.DataFrame(
+            out, columns=["id", "context", "ts", "decision", "result"]
+        )
 
+    result_expr = (
+        F.col(result_col).cast("string") if result_col is not None
+        else F.lit(None).cast("string")
+    )
     return (
         events.select(
             F.col(id_col).cast("long").alias("id"),
             F.col(context_col).alias("context"),
             F.col(ts_col).alias(ts_col),
             F.col(completion_col).cast("boolean").alias(completion_col),
+            result_expr.alias("result"),
         )
         .groupBy("id", "context")
         .applyInPandasWithState(
             classify,
-            outputStructType="id long, context string, ts timestamp, decision string",
-            stateStructType="started_at double, completed boolean",
+            outputStructType=(
+                "id long, context string, ts timestamp, decision string,"
+                " result string"
+            ),
+            stateStructType=(
+                "started_at double, completed boolean, result string"
+            ),
             outputMode="append",
             timeoutConf=GroupStateTimeout.NoTimeout,
         )

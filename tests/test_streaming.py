@@ -132,6 +132,77 @@ def test_protect_stream_stateful_lifecycle(spark, tmp_path):
     assert (3, "takeover") in decisions
 
 
+def test_protect_stream_stateful_replays_stored_result(spark, tmp_path):
+    """A duplicate arrival must receive the FIRST completion's stored result
+    payload, not just a 'duplicate' label — across a micro-batch boundary,
+    so the payload genuinely round-trips through the state store (the
+    reference's protect(id, fa) returns the stored value to later callers,
+    DeduplicationContext.scala:163-167)."""
+    import datetime as dt
+
+    from dedup.streaming import protect_stream_stateful
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = ["event_id", "event_type", "ts", "is_completion", "payload"]
+    b0 = pd.DataFrame(
+        [
+            (1, "click", base, False, None),                       # new
+            (1, "click", base + dt.timedelta(seconds=5), True,
+             "payload-A"),                                         # completed
+            # a second completion must NOT overwrite the stored result
+            (1, "click", base + dt.timedelta(seconds=6), True,
+             "payload-B"),
+        ],
+        columns=cols,
+    )
+    b1 = pd.DataFrame(
+        [
+            (1, "click", base + dt.timedelta(seconds=20), False, None),
+            (2, "click", base + dt.timedelta(seconds=25), False, None),
+        ],
+        columns=cols,
+    )
+    d = tmp_path / "replay_in"
+    d.mkdir()
+    for i, b in enumerate([b0, b1]):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["payload"] = b["payload"].astype("string")  # all-None must stay str
+        b.to_parquet(d / f"b{i}.parquet", index=False)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp,"
+            " is_completion boolean, payload string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        protect_stream_stateful(
+            src, max_processing_time_s=100.0, result_col="payload"
+        )
+        .writeStream.format("memory")
+        .queryName("replay_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT id, ts, decision, result FROM replay_out ORDER BY id, ts"
+        ).toPandas()
+    finally:
+        q.stop()
+    dup = out[(out.id == 1) & (out.decision == "duplicate")]
+    assert len(dup) == 1
+    assert dup.result.iloc[0] == "payload-A"  # first winner's value, replayed
+    comps = out[(out.id == 1) & (out.decision == "completed")]
+    assert list(comps.result) == ["payload-A", "payload-A"]  # no overwrite
+    fresh = out[out.id == 2]
+    assert list(fresh.decision) == ["new"]
+    assert fresh.result.isna().all()
+
+
 def test_duplicate_counts_stream(spark, stream_dir):
     src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     q = (
