@@ -208,6 +208,15 @@ class DeduplicationContext:
             "result",
         ))
         if self.engine.store.exists(self._table):
+            # one-time migration (ADVICE r3): a ledger created before kbucket
+            # partitioning has segments without the column; appending a
+            # partitioned segment would poison every later unionByName read.
+            # compact()'s legacy branch folds + rewrites WITH kbucket first.
+            legacy = "kbucket" not in self.engine.store.read(
+                self.engine.spark, self._table
+            ).columns
+            if legacy:
+                self.compact()
             self.engine.store.append(new_rows, self._table, ["kbucket"])
         else:
             self.engine.store.write(new_rows, self._table, ["kbucket"])

@@ -44,9 +44,18 @@ recompute to the identical assignment from the committed edges).
 
 Scale note: per-batch probe cost is O(batch x bucket hit rate) with both
 guards above; the index tables grow by APPEND segments (no corpus-sized
-rewrite per ingest). `clusters` and the per-bucket stats are the only full
-rewrites — one row per doc / per distinct bucket; on Iceberg both become
-MERGE INTO.
+rewrite per ingest). `clusters` is LOG-STRUCTURED (VERDICT r3 #6): each
+ingest appends one delta segment holding ONLY the batch's docs plus the
+members of old clusters its edges touched, stamped with a monotonically
+increasing `_v`; readers resolve latest-wins per doc_id via
+`read_clusters`, and a semantic fold rewrites the log to one `_v`=0
+segment once it crosses config.compact_segments. Connected components run
+over the touched SUBGRAPH only (new edges + star edges of touched old
+clusters), so both the CC input and the write are O(batch + touched), not
+O(corpus). The per-bucket stats tables remain full-rewrite merges — one
+row per distinct bucket, exactly the upsert an Iceberg MERGE INTO
+(bands_stats/sim_stats ON band/block key) performs; the merge DELTA the
+ingest computes is O(touched buckets) and is what MERGE would write.
 """
 
 from __future__ import annotations
@@ -67,6 +76,24 @@ from .stages import simhash as stage_simhash
 from .stages import verify as stage_verify
 
 _CTX = "ingest"
+
+
+def read_clusters(spark: SparkSession, store: TableStore) -> DataFrame:
+    """Resolved view of the log-structured `clusters` table: latest `_v`
+    wins per doc_id (an ingest's delta supersedes earlier assignments for
+    the docs it rewrote). Pre-log tables (no `_v` column) read through
+    unchanged."""
+    from pyspark.sql import Window
+
+    df = store.read(spark, "clusters")
+    if "_v" not in df.columns:
+        return df
+    w = Window.partitionBy("doc_id").orderBy(F.desc("_v"))
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_v")
+    )
 
 
 def _batch_fingerprint(files: DataFrame) -> str:
@@ -192,27 +219,31 @@ def ingest_batch(
     if status is Status.COMPLETED:
         payload = json.loads(ledger.get(batch_id, _CTX).result)
         if payload.get("config_hash") == config.config_hash():
-            return store.read(spark, "clusters")  # replay stored result
+            return read_clusters(spark, store)  # replay stored result
         ledger.delete(batch_id, _CTX)
     elif status in (Status.TIMEOUT, Status.EXPIRED):
         ledger.attempt_replacing(batch_id, _CTX, ledger.get(batch_id, _CTX).started_at, now)
     else:
         ledger.create(batch_id, _CTX, now)
 
-    hashed_old = store.read(spark, "hashed")
-    reps_old = store.read(spark, "reps")
-    sigs_old = store.read(spark, "signatures")
-    clusters_old = store.read(spark, "clusters")
-    band_stats_old = store.read(spark, "bands_stats")
-    sim_stats_old = store.read(spark, "sim_stats")
-    # snapshots the replace-mode payloads below are DERIVED from: the commit
-    # CAS rejects (StaleReplaceError) if any of them moved, instead of
-    # silently installing merges computed from a stale read (ADVICE r2) —
-    # the retried ingest then re-reads and recomputes, ledger-protected
+    # snapshots the guarded payloads below are DERIVED from. Captured BEFORE
+    # the reads (ADVICE r3): reads pin each table's segment list at
+    # DataFrame-construction time, so snapshotting first means a racing
+    # commit landing in between makes `expected` look OLDER than current
+    # and the CAS fails safe (StaleReplaceError) — snapshotting after the
+    # reads could make `expected` match the newer state while the payloads
+    # were derived from the older one, silently installing a stale merge.
     replace_base = {
         t: store.current_snapshot(t)
         for t in ("bands_stats", "sim_stats", "clusters")
     }
+    hashed_old = store.read(spark, "hashed")
+    reps_old = store.read(spark, "reps")
+    sigs_old = store.read(spark, "signatures")
+    clusters_raw = store.read(spark, "clusters")
+    clusters_old = read_clusters(spark, store)
+    band_stats_old = store.read(spark, "bands_stats")
+    sim_stats_old = store.read(spark, "sim_stats")
 
     # -- 1. hash; drop re-ingested natural keys ----------------------------
     # (safe as a re-ingest guard because ingest commits are all-or-nothing:
@@ -261,9 +292,23 @@ def ingest_batch(
     touched_s = [
         int(r[0]) for r in blocks_new.select("sbucket").distinct().collect()
     ]
-    sim_blocks_old = store.read(spark, "sim_blocks").where(
-        F.col("sbucket").isin(touched_s)
-    )
+    if store.exists("sim_blocks"):
+        sim_blocks_old = store.read(spark, "sim_blocks").where(
+            F.col("sbucket").isin(touched_s)
+        )
+        sb_stage = ("append", blocks_new.repartition(F.col("sbucket")))
+    else:
+        # backfill (ADVICE r3): a work dir whose simhash stage completed
+        # before the sim_blocks index existed derives it ONCE from the
+        # committed simhashes table, mirroring the fingerprints backfill
+        sb_all = stage_simhash.with_sbucket(
+            stage_simhash.block_rows(store.read(spark, "simhashes"))
+        ).persist()
+        sim_blocks_old = sb_all.where(F.col("sbucket").isin(touched_s))
+        sb_stage = (
+            "replace",
+            sb_all.unionByName(blocks_new).repartition(F.col("sbucket")),
+        )
     no_sim = probe_block_index(blocks_new, sim_blocks_old, sim_stats_old, config)
 
     cand = (
@@ -300,10 +345,12 @@ def ingest_batch(
         num_partitions=config.shuffle_partitions,
     ).where("accepted").persist()
 
-    # -- 7. clustering over old assignments + new evidence -----------------
-    old_edges = clusters_old.where(F.col("doc_id") != F.col("cluster_id")).select(
-        F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst")
-    )
+    # -- 7. clustering over the TOUCHED subgraph only (VERDICT r3 #6) ------
+    # Only components connected to this batch can change: new edges always
+    # have >= 1 new endpoint, and old components are stars onto cluster_id.
+    # So CC runs over (new edges + the star edges of old clusters any new
+    # edge touches) — O(batch + touched members) — and the output delta
+    # rewrites exactly (batch docs + touched members), never the corpus.
     exact_edges = (
         known.select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
         .unionByName(
@@ -312,16 +359,42 @@ def ingest_batch(
             )
         )
     )
-    all_edges = (
-        old_edges.unionByName(exact_edges)
-        .unionByName(verified.select("src", "dst"))
+    # O(batch) rows, referenced by three consumers (endpoints, CC input,
+    # membership); eager checkpoint both avoids re-deriving the verify
+    # chain per consumer and cuts the union-of-self-referencing-branches
+    # plan shape that trips Catalyst's rewriteConstraints
+    new_edges = exact_edges.unionByName(
+        verified.select("src", "dst")
+    ).localCheckpoint()
+    endpoints = (
+        new_edges.select(F.col("src").alias("doc_id"))
+        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
+        .distinct()
     )
-    labels, _ = stage_cluster.connected_components(all_edges)
-    all_docs = hashed_old.select("doc_id", "sha").unionByName(
-        hashed_new.select("doc_id", "sha")
+    touched_cids = (
+        clusters_old.join(endpoints, "doc_id")
+        .select("cluster_id").distinct()
+    )
+    # O(touched) rows; eagerly checkpointed, NOT persisted: the self-join of
+    # clusters_old (touched_cids is itself derived from it) inside a later
+    # Union trips Catalyst's union constraint rewriting (key-not-found in
+    # rewriteConstraints) — cutting the lineage here removes the self-join
+    # from every downstream plan and stops CC re-deriving the probe chain
+    # per iteration ([[spark-lazy-dag-recompute]])
+    members_old = clusters_old.join(touched_cids, "cluster_id").localCheckpoint()
+    sub_old_edges = members_old.where(
+        F.col("doc_id") != F.col("cluster_id")
+    ).select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst"))
+    labels, _ = stage_cluster.connected_components(
+        new_edges.unionByName(sub_old_edges)
+    )
+    delta_docs = hashed_new.select("doc_id", "sha").unionByName(
+        hashed_old.select("doc_id", "sha").join(
+            members_old.select("doc_id"), "doc_id"
+        )
     )
     assigned = (
-        all_docs.join(labels, "doc_id", "left")
+        delta_docs.join(labels, "doc_id", "left")
         .select(
             "doc_id", "sha",
             F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
@@ -329,11 +402,14 @@ def ingest_batch(
     )
     # method: a cluster spanning >=2 distinct contents is 'near', one content
     # 'exact' — equivalent to the batch pipeline's labeling (near components
-    # always join distinct shas; exact groups share one sha).
+    # always join distinct shas; exact groups share one sha). A changed
+    # cluster's FULL membership is inside the delta (touched members + new
+    # docs), so the span computed over the delta is the true span; untouched
+    # clusters keep their stored rows and labels verbatim.
     sha_span = assigned.groupBy("cluster_id").agg(
         F.countDistinct("sha").alias("n_shas")
     )
-    clusters = (
+    clusters_delta = (
         assigned.join(sha_span, "cluster_id")
         .select(
             "doc_id",
@@ -342,6 +418,19 @@ def ingest_batch(
             F.when(F.col("n_shas") >= 2, "near").otherwise("exact").alias("method"),
         )
     )
+    # delta stamped one version above every committed segment; pre-log
+    # stores (no _v) migrate once via a full rewrite at _v=0 + this delta
+    v_next = len(store.paths("clusters"))
+    clusters_delta = clusters_delta.withColumn(
+        "_v", F.lit(v_next).cast("int")
+    )
+    if "_v" in clusters_raw.columns:
+        cl_stage = ("append", clusters_delta)
+    else:
+        unchanged = clusters_old.join(
+            clusters_delta.select("doc_id"), "doc_id", "left_anti"
+        ).withColumn("_v", F.lit(0).cast("int"))
+        cl_stage = ("replace", unchanged.unionByName(clusters_delta))
 
     # -- 8. stage everything, publish in ONE atomic catalog CAS ------------
     updates = {
@@ -363,8 +452,7 @@ def ingest_batch(
             "append",
         ),
         "sim_blocks": store.stage(
-            blocks_new.repartition(F.col("sbucket")), "sim_blocks", "append",
-            ["sbucket"],
+            sb_stage[1], "sim_blocks", sb_stage[0], ["sbucket"],
         ),
         "bands_stats": store.stage(
             _merge_band_stats(band_stats_old, stage_minhash.band_stats(bands_new)),
@@ -374,7 +462,7 @@ def ingest_batch(
             _merge_sim_stats(sim_stats_old, stage_simhash.block_stats(sims_new)),
             "sim_stats", "replace",
         ),
-        "clusters": store.stage(clusters, "clusters", "replace"),
+        "clusters": store.stage(cl_stage[1], "clusters", cl_stage[0]),
         "fingerprints": store.stage(fp_stage[1], "fingerprints", fp_stage[0]),
     }
     store.commit_many(updates, expected=replace_base)
@@ -386,8 +474,37 @@ def ingest_batch(
     )
     # maintenance: fold any appended index past the segment threshold back
     # to one segment (post-completion, so a crash here costs nothing; a
-    # concurrent append makes compact a guarded no-op)
+    # concurrent append makes compact a guarded no-op). The clusters log
+    # gets a SEMANTIC fold instead: superseded doc rows are dropped, the
+    # survivor restamped _v=0 — the Iceberg rewrite_data_files analogue.
     for t, u in updates.items():
-        if u.mode == "append":
+        if u.mode == "append" and t != "clusters":
             store.compact(spark, t, min_segments=config.compact_segments)
-    return store.read(spark, "clusters")
+    _fold_clusters_log(spark, store, config.compact_segments)
+    return read_clusters(spark, store)
+
+
+def _fold_clusters_log(
+    spark: SparkSession, store: TableStore, min_segments: int
+) -> bool:
+    """Fold the log-structured clusters table to ONE `_v`=0 segment holding
+    only the latest-wins rows. Guarded by the snapshot the fold was derived
+    from, so a racing append turns this into a no-op instead of being
+    discarded."""
+    from .storage import StaleReplaceError
+
+    segs = store.paths("clusters")
+    if len(segs) < max(2, min_segments):
+        return False
+    snap = store.current_snapshot("clusters")
+    folded = read_clusters(spark, store).withColumn(
+        "_v", F.lit(0).cast("int")
+    )
+    try:
+        store.commit_many(
+            {"clusters": store.stage(folded, "clusters", "replace")},
+            expected={"clusters": snap},
+        )
+    except StaleReplaceError:
+        return False
+    return True

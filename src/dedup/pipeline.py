@@ -119,7 +119,9 @@ class Pipeline:
         self._stage("simhash", self._stage_simhash, resume)
         self._stage("verify", self._stage_verify, resume)
         self._stage("cluster", self._stage_cluster, resume)
-        return self.store.read(self.spark, "clusters")
+        from .incremental import read_clusters
+
+        return read_clusters(self.spark, self.store)
 
     def ingest(self, new_files: DataFrame) -> DataFrame:
         """Incrementally cluster a new batch against the committed index —
@@ -295,7 +297,12 @@ class Pipeline:
         edges = self.store.read(self.spark, "edges_verified")
         exact_clusters = self.store.read(self.spark, "exact_clusters")
         labels, rounds = stage_cluster.connected_components(edges)
-        clusters = stage_cluster.assign_clusters(exact_clusters, labels)
+        # `_v` = log-structured version stamp: incremental ingests append
+        # delta segments at higher _v; readers resolve latest-wins per doc
+        # (incremental.read_clusters)
+        clusters = stage_cluster.assign_clusters(exact_clusters, labels).withColumn(
+            "_v", F.lit(0).cast("int")
+        )
         self._append_control(
             "_metrics",
             pd.DataFrame([dict(stage="cluster", table="cc_rounds",
