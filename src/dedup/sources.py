@@ -100,6 +100,22 @@ def load_corpus(
     138-153, applied to input hygiene); callers log it to `_metrics`.
     """
     raw = read_code_files(spark, path, fmt)
-    valid = valid_code_files(raw)
-    n_rejected = raw.count() - valid.count()
-    return valid, n_rejected
+    cond = F.lit(True)
+    for c in _REQUIRED_NONNULL:
+        cond = cond & F.col(c).isNotNull()
+    # ONE pass for both counts (ADVICE r3: two .count() actions scanned the
+    # uncached source twice, on top of the pipeline's own scan)
+    row = raw.agg(
+        F.count(F.lit(1)).alias("n"), F.count_if(cond).alias("n_valid")
+    ).collect()[0]
+    n, n_valid = int(row["n"]), int(row["n_valid"])
+    if n > 0 and n_valid == 0:
+        # a .json file holding one JSON ARRAY parses as all-null rows under
+        # the JSONL reader — fail loud instead of reporting a silently
+        # empty corpus with n rejected rows (ADVICE r3)
+        raise ValueError(
+            f"code_files source {path!r} ({fmt or _infer_fmt(path)}): all "
+            f"{n} rows fail the contract (null key/content). If this is a "
+            "JSON-array file, convert it to JSON Lines (one object per row)."
+        )
+    return valid_code_files(raw), n - n_valid

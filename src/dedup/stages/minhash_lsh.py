@@ -39,6 +39,21 @@ def ensure_parallelism(df: DataFrame, target: int) -> DataFrame:
     return df
 
 
+def drop_empty_normalized(reps: DataFrame, text_col: str = "content") -> DataFrame:
+    """Exclude docs whose normalized text is empty from signature
+    generation (ADVICE r3): the oracle's shingle CTE drops them
+    (strlen(t) > 0 — no shingle rows), while sentinel signatures
+    (all-MAX_HASH_32 MinHash, SimHash 0) would bucket every empty doc
+    together and cluster them at jaccard 1.0. Excluding them symmetrically
+    keeps empty/whitespace-only docs singletons on BOTH engines. The
+    whitespace collapse is mirrored before the trim (Spark's trim strips
+    spaces only — a tab/newline-only doc must also count as empty, as it
+    does under kernels.normalize_text and the oracle's regexp); for the
+    ASCII corpus contract this is a cheap JVM predicate, not a UDF."""
+    collapsed = F.regexp_replace(F.col(text_col), r"\s+", " ")
+    return reps.where(F.trim(collapsed) != "")
+
+
 def signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
     """(doc_id, sig: array<long>, bands: array<long>).
 
@@ -65,7 +80,8 @@ def signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
             {"sig": list(sigs.view(np.int64)), "bands": list(bh)}
         )
 
-    reps = ensure_parallelism(reps, config.shuffle_partitions)
+    reps = ensure_parallelism(drop_empty_normalized(reps),
+                              config.shuffle_partitions)
     return reps.select("doc_id", sig_udf("content").alias("s")).select(
         "doc_id", F.col("s.sig").alias("sig"), F.col("s.bands").alias("bands")
     )
@@ -106,7 +122,8 @@ def joint_signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
             "blocks": list(blocks),
         })
 
-    reps = ensure_parallelism(reps, config.shuffle_partitions)
+    reps = ensure_parallelism(drop_empty_normalized(reps),
+                              config.shuffle_partitions)
     return reps.select("doc_id", joint_udf("content").alias("s")).select(
         "doc_id",
         F.col("s.sig").alias("sig"),

@@ -43,9 +43,10 @@ def simhashes(reps: DataFrame, config: DedupConfig) -> DataFrame:
         blocks = K.hamming_blocks(sh, n_blocks)
         return pd.DataFrame({"simhash": sh, "blocks": list(blocks)})
 
-    from .minhash_lsh import ensure_parallelism
+    from .minhash_lsh import drop_empty_normalized, ensure_parallelism
 
-    reps = ensure_parallelism(reps, config.shuffle_partitions)
+    reps = ensure_parallelism(drop_empty_normalized(reps),
+                              config.shuffle_partitions)
     return reps.select("doc_id", simhash_udf("content").alias("s")).select(
         "doc_id", F.col("s.simhash").alias("simhash"), F.col("s.blocks").alias("blocks")
     )

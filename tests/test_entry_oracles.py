@@ -89,3 +89,43 @@ def test_entry_smoke(spark):
     df = entrymod.entry(spark)
     assert df.count() > 0
     assert {"doc_id", "cluster_id", "is_canonical"} <= set(df.columns)
+
+
+def test_empty_docs_stay_singletons_on_both_engines(spark, tmp_path):
+    """ADVICE r3: docs whose NORMALIZED text is empty (empty string, spaces,
+    tabs/newlines) must not cluster together. The oracle's shingle CTE drops
+    them (strlen(t) > 0); the Spark channels now exclude them symmetrically
+    before signature generation, so both engines leave them singletons and
+    the value-hash gate holds on corpora containing them."""
+    base = pd.read_parquet(f"{SF_DIR}/documents.parquet").head(40)
+    extra = pd.DataFrame(
+        {
+            "doc_id": [900001, 900002, 900003, 900004],
+            "text": ["", "   ", "\t\n\t", " \n "],
+            "lang": ["en"] * 4,
+            "source": ["planted"] * 4,
+            "n_chars": [0, 3, 3, 3],
+        }
+    )
+    d = tmp_path / "sf_empty"
+    d.mkdir()
+    pd.concat([base, extra], ignore_index=True).to_parquet(
+        d / "documents.parquet", index=False
+    )
+    con = duckdb.connect()
+    con.execute("SET TimeZone='UTC'")
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{d}/documents.parquet')"
+    )
+    for name in ("minhash_lsh_candidates", "simhash_candidates",
+                 "neardup_clusters_documents"):
+        got = _canon(entrymod.queries()[name](spark, str(d)).toPandas())
+        expect = _canon(con.execute(entrymod.oracle_sql()[name]).df())
+        pd.testing.assert_frame_equal(got, expect, check_dtype=False,
+                                      check_exact=False, rtol=0, atol=1e-4)
+    clusters = entrymod.queries()["neardup_clusters_documents"](
+        spark, str(d)
+    ).toPandas()
+    planted = clusters[clusters.doc_id >= 900001]
+    assert len(planted) == 4
+    assert (planted.cluster_id == planted.doc_id).all()

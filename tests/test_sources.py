@@ -108,3 +108,22 @@ def test_jsonl_corpus_clusters_identically_to_parquet(spark, tmp_path):
     a = out_pq.sort_values("doc_id").reset_index(drop=True)
     b = out_jl.sort_values("doc_id").reset_index(drop=True)
     pd.testing.assert_frame_equal(a, b)
+
+
+def test_json_array_file_fails_fast(spark, tmp_path):
+    """ADVICE r3: a .json file holding one JSON ARRAY parses to all-null
+    rows under the JSONL reader; load_corpus must raise instead of
+    reporting a silently empty corpus."""
+    import json
+
+    import pytest
+
+    from dedup.sources import load_corpus
+
+    p = tmp_path / "corpus.json"
+    p.write_text(json.dumps([
+        {"repo": "r", "path": "p", "commit": "c", "lang": "py",
+         "content": "x = 1"},
+    ], indent=2))  # pretty-printed array: every LINE fails to parse
+    with pytest.raises(ValueError, match="JSON-array"):
+        load_corpus(spark, str(p))
