@@ -224,6 +224,25 @@ def ann_n_planes(corpus_size: int, target_bucket: int = 1024) -> int:
     )
 
 
+def _corpus_count(sf_dir: str, emb: DataFrame) -> int:
+    """Row count for plane-count sizing. Parquet footer metadata when the
+    table is a plain file/directory (driver-side, no Spark job); falls back
+    to a count() job for non-parquet layouts."""
+    import os
+
+    try:
+        import pyarrow.parquet as pq
+
+        path = f"{sf_dir}/embeddings.parquet"
+        if os.path.isfile(path):
+            return pq.read_metadata(path).num_rows
+        if os.path.isdir(path):
+            return pq.ParquetDataset(path).count_rows()
+    except Exception:
+        pass
+    return emb.count()
+
+
 def _ann_topk(
     emb: DataFrame,
     probe_cap: int = _PROBE_BUCKET_CAP,
@@ -235,8 +254,9 @@ def _ann_topk(
     n_planes=None (the production default) sizes the bucket space from the
     corpus: ann_n_planes(count) keeps expected bucket occupancy bounded, so
     recall no longer degrades into the probe cap at 100x scale (VERDICT r3
-    #1). The count is one metadata-cheap parquet job; at driver tiers the
-    derivation returns the oracled _N_PLANES=8 exactly."""
+    #1). At driver tiers the derivation returns the oracled _N_PLANES=8
+    exactly; callers with a parquet path avoid even the count() job via
+    _corpus_count's footer-metadata read."""
     if n_planes is None:
         n_planes = ann_n_planes(emb.count())
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
@@ -280,7 +300,8 @@ def embedding_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     of exploding it. Fully value-hash oracled (literal planes +
     fold-order-stable projections; see module docstring).
     """
-    return _ann_topk(load_table(spark, sf_dir, "embeddings"))
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ann_topk(emb, n_planes=ann_n_planes(_corpus_count(sf_dir, emb)))
 
 
 EMBEDDING_ANN_SQL = f"""
@@ -339,7 +360,7 @@ def _neardup_edges(
 
     emb = load_table(spark, sf_dir, "embeddings")
     if n_planes is None:
-        n_planes = ann_n_planes(emb.count())
+        n_planes = ann_n_planes(_corpus_count(sf_dir, emb))
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
         F.col("vec_id").alias("doc_id"), vec.alias("v"),
