@@ -367,3 +367,38 @@ def test_fp_screen_keeps_lcs_pairs_drops_impossible(spark):
         ).collect()
     }
     assert out[(0, 1)] is True
+
+
+def test_cc_mega_star_and_broom_skew(spark):
+    """Skew stress (round-4 stretch): a 200k-leaf star (the exact shape the
+    bucket cap emits for a boilerplate mega-bucket) and a broom (star hung
+    off a chain) must converge in few rounds with one component — the
+    map-side-combined min-aggregations keep the hub linear, no BTS
+    balancing needed at this density (BENCH/cc_stress.py has the wall
+    measurements)."""
+    from pyspark.sql import functions as F
+
+    from dedup.stages.cluster import connected_components
+
+    star = spark.range(1, 200_001).select(
+        F.lit(0).alias("src"), F.col("id").alias("dst")
+    )
+    labels, rounds = connected_components(star)
+    assert rounds <= 3
+    got = labels.select(F.count_distinct("cluster_id").alias("n"),
+                        F.min("cluster_id").alias("mn"),
+                        F.count(F.lit(1)).alias("rows")).collect()[0]
+    assert (got["n"], got["mn"], got["rows"]) == (1, 0, 200_001)
+
+    chain_len = 512
+    broom = spark.range(0, chain_len).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    ).unionByName(
+        spark.range(chain_len + 1, chain_len + 50_001).select(
+            F.lit(chain_len).alias("src"), F.col("id").alias("dst")
+        )
+    )
+    labels, rounds = connected_components(broom)
+    got = labels.agg(F.count_distinct("cluster_id").alias("n"),
+                     F.min("cluster_id").alias("mn")).collect()[0]
+    assert (got["n"], got["mn"]) == (1, 0)
