@@ -15,6 +15,8 @@ from __future__ import annotations
 
 import numpy as np
 
+from . import _native
+
 MERSENNE_61 = np.uint64((1 << 61) - 1)
 MAX_HASH_32 = np.uint64((1 << 32) - 1)
 _FNV_PRIME = np.uint64(1099511628211)
@@ -55,14 +57,36 @@ def normalize_text(text: str) -> str:
     return " ".join(text.lower().split())
 
 
+def _window_hashes_np(data: np.ndarray, k: int) -> np.ndarray:
+    """Numpy reference: mix64 of the k-wide rolling polynomial over uint8
+    `data`; result[i] hashes bytes [i, i+k). The C twin is
+    _native window_hashes (bit-identity test-pinned)."""
+    with _wrap:
+        powers = _poly_powers(k)
+        windows = np.lib.stride_tricks.sliding_window_view(data, k)
+        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
+    return mix64(h)
+
+
+def _window_hashes(data: np.ndarray, k: int) -> np.ndarray:
+    if _native.LIB is not None:
+        out = np.empty(data.size - k + 1, dtype=np.uint64)
+        _native.LIB.window_hashes(
+            np.ascontiguousarray(data).ctypes.data, data.size, k,
+            _poly_powers(k).ctypes.data, out.ctypes.data,
+        )
+        return out
+    return _window_hashes_np(data.astype(np.uint64), k)
+
+
 def char_shingle_hashes(text: str, k: int) -> np.ndarray:
     """Distinct 64-bit hashes of all k-char shingles of `text` (uint64).
 
-    Rolling polynomial hash over the UTF-8 bytes via a sliding window
-    (vectorized), then a splitmix64 finalizer to spread low-entropy
-    polynomial values across the full 64-bit space.
+    Rolling polynomial hash over the UTF-8 bytes via a sliding window,
+    then a splitmix64 finalizer to spread low-entropy polynomial values
+    across the full 64-bit space. Native-accelerated when _native built.
     """
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = data.size
     if n == 0:
         return np.empty(0, dtype=np.uint64)
@@ -70,13 +94,12 @@ def char_shingle_hashes(text: str, k: int) -> np.ndarray:
         # whole-text fallback: one shingle
         with _wrap:
             powers = _poly_powers(n)
-            h = np.array([(data * powers[::-1]).sum()], dtype=np.uint64)
+            h = np.array(
+                [(data.astype(np.uint64) * powers[::-1]).sum()],
+                dtype=np.uint64,
+            )
         return mix64(h)
-    with _wrap:
-        powers = _poly_powers(k)
-        windows = np.lib.stride_tricks.sliding_window_view(data, k)
-        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
-    return np.unique(mix64(h))
+    return np.unique(_window_hashes(data, k))
 
 
 def gram_hashes_positional(text: str, k: int) -> np.ndarray:
@@ -84,15 +107,11 @@ def gram_hashes_positional(text: str, k: int) -> np.ndarray:
     kept): result[i] hashes bytes [i, i+k). Same rolling polynomial +
     splitmix64 as char_shingle_hashes, WITHOUT the unique() — the verify
     stage's LCS pigeonhole screen needs aligned positional blocks."""
-    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.uint64)
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
     n = data.size
     if n == 0 or n < k:
         return np.empty(0, dtype=np.uint64)
-    with _wrap:
-        powers = _poly_powers(k)
-        windows = np.lib.stride_tricks.sliding_window_view(data, k)
-        h = (windows * powers[::-1]).sum(axis=1, dtype=np.uint64)
-    return mix64(h)
+    return _window_hashes(data, k)
 
 
 def _inv64(x: int) -> np.uint64:
@@ -184,19 +203,13 @@ _MINHASH_CHUNK = 256  # shingles per block: keeps the (num_perm x chunk)
 # intermediate ~256 KB (uint64) — L2-resident, the kernel is memory-bound
 
 
-def minhash_from_hashes(
+def _minhash_from_hashes_np(
     shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
 ) -> np.ndarray:
-    """MinHash signature (uint64 values < 2^32) of one shingle-hash set.
-
-    sig[i] = min over shingles s of top-32-bits(a[i]*s + b[i]) — the
-    multiply-shift family (Dietzfelbinger et al.), all uint64 wraparound.
+    """Numpy reference for the fold (C twin bit-identity test-pinned).
     Processed in shingle blocks with a running minimum so the intermediate
     matrix stays cache-resident instead of streaming num_perm x n_shingles
-    through memory.
-    """
-    if shingle_hashes.size == 0:
-        return np.full(a.size, MAX_HASH_32, dtype=np.uint64)
+    through memory."""
     acc = np.full(a.size, np.iinfo(np.uint64).max, dtype=np.uint64)
     a2 = a[:, None]
     b2 = b[:, None]
@@ -206,6 +219,31 @@ def minhash_from_hashes(
             prod = a2 * chunk[None, :] + b2
             np.minimum(acc, (prod >> np.uint64(32)).min(axis=1), out=acc)
     return acc
+
+
+def minhash_from_hashes(
+    shingle_hashes: np.ndarray, a: np.ndarray, b: np.ndarray
+) -> np.ndarray:
+    """MinHash signature (uint64 values < 2^32) of one shingle-hash set.
+
+    sig[i] = min over shingles s of top-32-bits(a[i]*s + b[i]) — the
+    multiply-shift family (Dietzfelbinger et al.), all uint64 wraparound.
+    This fold is the dominant signature cost (num_perm ops per shingle);
+    dispatched to the native kernel when _native built (~15x on AVX-512).
+    """
+    if shingle_hashes.size == 0:
+        return np.full(a.size, MAX_HASH_32, dtype=np.uint64)
+    if _native.LIB is not None:
+        out = np.empty(a.size, dtype=np.uint64)
+        _native.LIB.minhash_fold(
+            np.ascontiguousarray(shingle_hashes).ctypes.data,
+            shingle_hashes.size,
+            np.ascontiguousarray(a).ctypes.data,
+            np.ascontiguousarray(b).ctypes.data,
+            a.size, out.ctypes.data,
+        )
+        return out
+    return _minhash_from_hashes_np(shingle_hashes, a, b)
 
 
 def minhash_batch(
@@ -290,15 +328,10 @@ def jaccard_shingles(text_a: str, text_b: str, k: int, normalize: bool = True) -
 # SimHash
 # ---------------------------------------------------------------------------
 
-def simhash64(shingle_hashes: np.ndarray) -> np.int64:
-    """64-bit SimHash of one shingle-hash set (majority vote per bit).
-
-    Bit expansion via np.unpackbits over the little-endian byte view —
-    (n, 64) uint8 instead of an (n, 64) uint64 matrix: 8x less memory
-    traffic on the dominant step.
-    """
-    if shingle_hashes.size == 0:
-        return np.int64(0)
+def _simhash64_np(shingle_hashes: np.ndarray) -> np.int64:
+    """Numpy reference (C twin bit-identity test-pinned). Bit expansion via
+    np.unpackbits over the little-endian byte view — (n, 64) uint8 instead
+    of an (n, 64) uint64 matrix: 8x less memory traffic."""
     n = shingle_hashes.size
     bytes_le = shingle_hashes.astype("<u8").view(np.uint8).reshape(n, 8)
     bits = np.unpackbits(bytes_le, axis=1, bitorder="little")  # (n, 64)
@@ -306,6 +339,18 @@ def simhash64(shingle_hashes: np.ndarray) -> np.int64:
     vec = (counts * 2 >= n).astype(np.uint8)
     packed_bytes = np.packbits(vec, bitorder="little")  # 8 bytes
     return packed_bytes.view("<u8").astype(np.uint64).view(np.int64)[0]
+
+
+def simhash64(shingle_hashes: np.ndarray) -> np.int64:
+    """64-bit SimHash of one shingle-hash set (majority vote per bit; bit
+    set iff 2*count >= n). Native-accelerated when _native built."""
+    if shingle_hashes.size == 0:
+        return np.int64(0)
+    if _native.LIB is not None:
+        sh = np.ascontiguousarray(shingle_hashes, dtype=np.uint64)
+        raw = _native.LIB.simhash64(sh.ctypes.data, sh.size)
+        return np.int64(np.array(raw, dtype=np.uint64).view(np.int64))
+    return _simhash64_np(shingle_hashes)
 
 
 def simhash_batch(

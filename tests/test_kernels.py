@@ -330,3 +330,60 @@ def test_fused_minhash_simhash_bit_identical():
     sim_s = K.simhash_batch(texts, 9, normalize=True)
     assert (sig_f == sig_s).all()
     assert (sim_f == sim_s).all()
+
+
+# ---------------------------------------------------------------------------
+# native acceleration: bit-identity vs the numpy reference (round 4)
+# ---------------------------------------------------------------------------
+
+def test_native_kernels_bit_identical_to_numpy():
+    """The C layer (_native) is an accelerator only: minhash fold, window
+    hashes, and simhash must be BIT-identical to the numpy reference on
+    random and adversarial inputs. Skipped when no compiler is available
+    (kernels then run the numpy path everywhere)."""
+    import numpy as np
+    import pytest
+
+    from dedup import _native
+    from dedup import kernels as K
+
+    if _native.LIB is None:
+        pytest.skip("no native build on this host")
+    rng = np.random.default_rng(3)
+    a, b = K.make_minhash_coeffs(128, 42)
+    for n in (1, 2, 7, 255, 256, 257, 4096, 100_000):
+        sh = rng.integers(0, 1 << 63, size=n, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        got = K.minhash_from_hashes(sh, a, b)
+        ref = K._minhash_from_hashes_np(sh, a, b)
+        np.testing.assert_array_equal(got, ref)
+        got_s = K.simhash64(sh)
+        ref_s = K._simhash64_np(sh)
+        assert got_s == ref_s, n
+    # adversarial simhash ties: all-same hash (counts == n on set bits)
+    same = np.full(10, np.uint64(0x0F0F0F0F0F0F0F0F), dtype=np.uint64)
+    assert K.simhash64(same) == K._simhash64_np(same)
+    # window hashes across widths and short strings
+    for text in ("a", "ab", "abcdefghij", "x" * 5000, "päö∂ñ" * 100):
+        for k in (2, 3, 9, 16):
+            data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+            if data.size < k:
+                continue
+            got_w = K._window_hashes(data, k)
+            ref_w = K._window_hashes_np(data.astype(np.uint64), k)
+            np.testing.assert_array_equal(got_w, ref_w)
+
+
+def test_native_disable_env_falls_back(monkeypatch):
+    """DEDUP_DISABLE_NATIVE must force the numpy path with equal results."""
+    import numpy as np
+
+    from dedup import _native
+    from dedup import kernels as K
+
+    rng = np.random.default_rng(5)
+    sh = rng.integers(0, 1 << 63, size=1000, dtype=np.uint64)
+    a, b = K.make_minhash_coeffs(64, 7)
+    with_native = K.minhash_from_hashes(sh, a, b)
+    monkeypatch.setattr(_native, "LIB", None)
+    without = K.minhash_from_hashes(sh, a, b)
+    np.testing.assert_array_equal(with_native, without)
