@@ -78,22 +78,38 @@ from .stages import verify as stage_verify
 _CTX = "ingest"
 
 
-def read_clusters(spark: SparkSession, store: TableStore) -> DataFrame:
-    """Resolved view of the log-structured `clusters` table: latest `_v`
-    wins per doc_id (an ingest's delta supersedes earlier assignments for
-    the docs it rewrote). Pre-log tables (no `_v` column) read through
-    unchanged."""
+def _read_latest(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    keys: list[str],
+    prune=None,
+) -> DataFrame:
+    """Resolved view of a log-structured table: latest `_v` wins per key
+    tuple (a delta segment supersedes earlier rows for the keys it
+    rewrote). Pre-log tables (no `_v` column) read through unchanged.
+    `prune` (a DataFrame->DataFrame filter) is applied BEFORE the
+    resolution window — safe whenever the predicate is a function of the
+    key (every version of a key shares it, e.g. a bucket partition
+    column), and it is what keeps the window shuffle bounded to the
+    pruned partitions instead of O(table)."""
     from pyspark.sql import Window
 
-    df = store.read(spark, "clusters")
+    df = store.read(spark, table)
+    if prune is not None:
+        df = prune(df)
     if "_v" not in df.columns:
         return df
-    w = Window.partitionBy("doc_id").orderBy(F.desc("_v"))
+    w = Window.partitionBy(*keys).orderBy(F.desc("_v"))
     return (
         df.withColumn("_rn", F.row_number().over(w))
         .where(F.col("_rn") == 1)
         .drop("_rn", "_v")
     )
+
+
+def read_clusters(spark: SparkSession, store: TableStore) -> DataFrame:
+    return _read_latest(spark, store, "clusters", ["doc_id"])
 
 
 def _batch_fingerprint(files: DataFrame) -> str:
@@ -152,6 +168,36 @@ def _merge_sim_stats(old: DataFrame, new: DataFrame) -> DataFrame:
         F.when(new_wins, F.col("n_ps")).otherwise(F.col("o_ps"))
         .alias("pivot_simhash"),
     )
+
+
+def _stats_stage(
+    is_log: bool,
+    old_touched: DataFrame,
+    raw: DataFrame,
+    new: DataFrame,
+    merge_fn,
+    bucket_fn,
+    v_next: int,
+    table: str,
+):
+    """(df, table, mode) for staging a stats upsert: log layout appends a
+    touched-buckets-only delta at `_v`=v_next; a legacy full-table layout
+    (no _v) migrates once via a full rewrite at the partitioned layout."""
+    if is_log:
+        delta = bucket_fn(merge_fn(old_touched, new)).withColumn(
+            "_v", F.lit(v_next).cast("int")
+        )
+        return _bucket_partitioned(delta, bucket_fn), table, "append"
+    legacy_cols = [c for c in raw.columns if c not in ("pbucket", "sbucket")]
+    full = bucket_fn(merge_fn(raw.select(*legacy_cols), new)).withColumn(
+        "_v", F.lit(0).cast("int")
+    )
+    return _bucket_partitioned(full, bucket_fn), table, "replace"
+
+
+def _bucket_partitioned(df: DataFrame, bucket_fn) -> DataFrame:
+    bucket_col = "pbucket" if "pbucket" in df.columns else "sbucket"
+    return df.repartition(F.col(bucket_col))
 
 
 def probe_band_index(
@@ -242,8 +288,6 @@ def ingest_batch(
     sigs_old = store.read(spark, "signatures")
     clusters_raw = store.read(spark, "clusters")
     clusters_old = read_clusters(spark, store)
-    band_stats_old = store.read(spark, "bands_stats")
-    sim_stats_old = store.read(spark, "sim_stats")
 
     # -- 1. hash; drop re-ingested natural keys ----------------------------
     # (safe as a re-ingest guard because ingest commits are all-or-nothing:
@@ -279,6 +323,25 @@ def ingest_batch(
         int(r[0]) for r in bands_new_pb.select("pbucket").distinct().collect()
     ]
     bands_old = store.read(spark, "bands").where(F.col("pbucket").isin(touched))
+    # stats: prune to touched pbuckets at the SCAN, resolve latest-wins over
+    # only those partitions, then keep just the buckets this batch hits —
+    # the probe input AND the merge's old side are both O(batch x bands)
+    new_band_stats = stage_minhash.band_stats(bands_new).persist()
+    band_stats_raw = store.read(spark, "bands_stats")
+    bs_is_log = "_v" in band_stats_raw.columns
+    band_stats_res = _read_latest(
+        spark, store, "bands_stats", ["band_id", "band_hash"],
+        prune=(lambda df: df.where(F.col("pbucket").isin(touched)))
+        if bs_is_log else None,
+    )
+    band_stats_old = (
+        band_stats_res.join(
+            new_band_stats.select("band_id", "band_hash"),
+            ["band_id", "band_hash"], "left_semi",
+        )
+        .select("band_id", "band_hash", "bsz", "pivot")
+        .persist()
+    )
     no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
 
     nn_sim = stage_simhash.candidate_pairs(sims_new, config)
@@ -309,6 +372,22 @@ def ingest_batch(
             "replace",
             sb_all.unionByName(blocks_new).repartition(F.col("sbucket")),
         )
+    new_sim_stats = stage_simhash.block_stats(sims_new).persist()
+    sim_stats_raw = store.read(spark, "sim_stats")
+    ss_is_log = "_v" in sim_stats_raw.columns
+    sim_stats_res = _read_latest(
+        spark, store, "sim_stats", ["block_id", "block_val"],
+        prune=(lambda df: df.where(F.col("sbucket").isin(touched_s)))
+        if ss_is_log else None,
+    )
+    sim_stats_old = (
+        sim_stats_res.join(
+            new_sim_stats.select("block_id", "block_val"),
+            ["block_id", "block_val"], "left_semi",
+        )
+        .select("block_id", "block_val", "bsz", "pivot", "pivot_simhash")
+        .persist()
+    )
     no_sim = probe_block_index(blocks_new, sim_blocks_old, sim_stats_old, config)
 
     cand = (
@@ -454,13 +533,26 @@ def ingest_batch(
         "sim_blocks": store.stage(
             sb_stage[1], "sim_blocks", sb_stage[0], ["sbucket"],
         ),
+        # stats are log-structured upserts (same treatment as clusters):
+        # the delta holds ONLY the buckets this batch touched, appended at
+        # the next _v; latest-wins reads supersede the old rows. A legacy
+        # full-table layout (no _v) migrates once via a full rewrite —
+        # appending a partitioned segment to it would poison unionByName.
         "bands_stats": store.stage(
-            _merge_band_stats(band_stats_old, stage_minhash.band_stats(bands_new)),
-            "bands_stats", "replace",
+            *_stats_stage(
+                bs_is_log, band_stats_old, band_stats_raw, new_band_stats,
+                _merge_band_stats, stage_minhash.with_pbucket,
+                len(store.paths("bands_stats")), "bands_stats",
+            ),
+            ["pbucket"],
         ),
         "sim_stats": store.stage(
-            _merge_sim_stats(sim_stats_old, stage_simhash.block_stats(sims_new)),
-            "sim_stats", "replace",
+            *_stats_stage(
+                ss_is_log, sim_stats_old, sim_stats_raw, new_sim_stats,
+                _merge_sim_stats, stage_simhash.with_sbucket,
+                len(store.paths("sim_stats")), "sim_stats",
+            ),
+            ["sbucket"],
         ),
         "clusters": store.stage(cl_stage[1], "clusters", cl_stage[0]),
         "fingerprints": store.stage(fp_stage[1], "fingerprints", fp_stage[0]),
@@ -474,36 +566,51 @@ def ingest_batch(
     )
     # maintenance: fold any appended index past the segment threshold back
     # to one segment (post-completion, so a crash here costs nothing; a
-    # concurrent append makes compact a guarded no-op). The clusters log
-    # gets a SEMANTIC fold instead: superseded doc rows are dropped, the
-    # survivor restamped _v=0 — the Iceberg rewrite_data_files analogue.
+    # concurrent append makes compact a guarded no-op). The upsert LOGS
+    # (clusters, both stats tables) get a SEMANTIC fold instead:
+    # superseded rows are dropped, the survivors restamped _v=0 — the
+    # Iceberg rewrite_data_files analogue for a MERGE INTO target.
+    logs = {
+        "clusters": (["doc_id"], None),
+        "bands_stats": (["band_id", "band_hash"], ["pbucket"]),
+        "sim_stats": (["block_id", "block_val"], ["sbucket"]),
+    }
     for t, u in updates.items():
-        if u.mode == "append" and t != "clusters":
+        if u.mode == "append" and t not in logs:
             store.compact(spark, t, min_segments=config.compact_segments)
-    _fold_clusters_log(spark, store, config.compact_segments)
+    for t, (keys, part) in logs.items():
+        _fold_log(spark, store, t, keys, config.compact_segments, part)
     return read_clusters(spark, store)
 
 
-def _fold_clusters_log(
-    spark: SparkSession, store: TableStore, min_segments: int
+def _fold_log(
+    spark: SparkSession,
+    store: TableStore,
+    table: str,
+    keys: list[str],
+    min_segments: int,
+    partition_by: list[str] | None = None,
 ) -> bool:
-    """Fold the log-structured clusters table to ONE `_v`=0 segment holding
-    only the latest-wins rows. Guarded by the snapshot the fold was derived
-    from, so a racing append turns this into a no-op instead of being
-    discarded."""
+    """Fold a log-structured table to ONE `_v`=0 segment holding only the
+    latest-wins rows (superseded versions dropped — the Iceberg
+    rewrite_data_files analogue for an upsert log). Guarded by the snapshot
+    the fold was derived from, so a racing append turns this into a no-op
+    instead of being discarded."""
     from .storage import StaleReplaceError
 
-    segs = store.paths("clusters")
+    segs = store.paths(table)
     if len(segs) < max(2, min_segments):
         return False
-    snap = store.current_snapshot("clusters")
-    folded = read_clusters(spark, store).withColumn(
+    snap = store.current_snapshot(table)
+    folded = _read_latest(spark, store, table, keys).withColumn(
         "_v", F.lit(0).cast("int")
     )
+    if partition_by:
+        folded = folded.repartition(*[F.col(c) for c in partition_by])
     try:
         store.commit_many(
-            {"clusters": store.stage(folded, "clusters", "replace")},
-            expected={"clusters": snap},
+            {table: store.stage(folded, table, "replace", partition_by)},
+            expected={table: snap},
         )
     except StaleReplaceError:
         return False

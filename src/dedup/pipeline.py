@@ -47,6 +47,8 @@ STAGES = ["sha256", "minhash_lsh", "simhash", "verify", "cluster"]
 _PARTITIONED: dict[str, list[str]] = {
     "bands": ["pbucket"],
     "sim_blocks": ["sbucket"],
+    "bands_stats": ["pbucket"],
+    "sim_stats": ["sbucket"],
 }
 
 
@@ -254,7 +256,13 @@ class Pipeline:
             "bands": stage_minhash.with_pbucket(bands).repartition(
                 F.col("pbucket")
             ),
-            "bands_stats": stage_minhash.band_stats(bands),
+            # stats are a log-structured upsert target for ingests: bucket-
+            # partitioned (probe prune) + versioned (latest-wins per bucket)
+            "bands_stats": stage_minhash.with_pbucket(
+                stage_minhash.band_stats(bands)
+            ).withColumn("_v", F.lit(0).cast("int")).repartition(
+                F.col("pbucket")
+            ),
             "edges_lsh": stage_minhash.candidate_pairs(bands, self.config),
         }
         return out
@@ -270,7 +278,11 @@ class Pipeline:
             "sim_blocks": stage_simhash.with_sbucket(
                 stage_simhash.block_rows(sh)
             ).repartition(F.col("sbucket")),
-            "sim_stats": stage_simhash.block_stats(sh),
+            "sim_stats": stage_simhash.with_sbucket(
+                stage_simhash.block_stats(sh)
+            ).withColumn("_v", F.lit(0).cast("int")).repartition(
+                F.col("sbucket")
+            ),
             "edges_simhash": stage_simhash.candidate_pairs(sh, self.config),
         }
 

@@ -240,6 +240,13 @@ def test_ingest_writes_o_touched_clusters_delta(incremental_clusters):
     assert n_batch <= delta_rows < N_TOTAL, delta_rows
     # resolved view stays exactly one row per doc
     assert len(incr) == N_TOTAL and incr.doc_id.is_unique
+    # stats logs: the appended delta holds ONLY buckets the batch touched
+    # (an upsert, not a full-index rewrite)
+    for table in ("bands_stats", "sim_stats"):
+        ssegs = pipe.store.paths(table)
+        assert len(ssegs) == 2, table
+        base_n, delta_n = seg_rows(ssegs[0]), seg_rows(ssegs[1])
+        assert 0 < delta_n < base_n, (table, base_n, delta_n)
 
 
 def test_clusters_log_folds_past_threshold(spark, tmp_path):
