@@ -187,15 +187,15 @@ def _stats_stage(
         delta = bucket_fn(merge_fn(old_touched, new)).withColumn(
             "_v", F.lit(v_next).cast("int")
         )
-        return _bucket_partitioned(delta, bucket_fn), table, "append"
+        return _bucket_partitioned(delta), table, "append"
     legacy_cols = [c for c in raw.columns if c not in ("pbucket", "sbucket")]
     full = bucket_fn(merge_fn(raw.select(*legacy_cols), new)).withColumn(
         "_v", F.lit(0).cast("int")
     )
-    return _bucket_partitioned(full, bucket_fn), table, "replace"
+    return _bucket_partitioned(full), table, "replace"
 
 
-def _bucket_partitioned(df: DataFrame, bucket_fn) -> DataFrame:
+def _bucket_partitioned(df: DataFrame) -> DataFrame:
     bucket_col = "pbucket" if "pbucket" in df.columns else "sbucket"
     return df.repartition(F.col(bucket_col))
 
