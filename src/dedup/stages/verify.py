@@ -10,10 +10,12 @@ Per candidate pair, on the normalized contents:
 - if Jaccard is inconclusive (below the fast-accept floor but above the
   reject gate), an EXACT O(n) common-run probe decides `LCS >= threshold`
   (Rabin-Karp window hashes memoized per doc + substring-compare
-  confirmation, kernels.run_hashes/_confirm_common_run); the O(n log n)
-  suffix-array LCS (prefix doubling + binary-lifting LCP — the SURVEY.md
-  section 7 step-5 kernel) runs only to record the evidence length for
-  the few pairs the probe accepts.
+  confirmation, kernels.run_hashes/_confirm_common_run); the exact
+  evidence length for probe-accepted pairs comes from a binary search
+  over the same probe (kernels.longest_common_run_from — identical value
+  to the suffix-array LCS at ~1/5 the cost); the O(n log n) suffix array
+  (prefix doubling + binary-lifting LCP — the SURVEY.md section 7 step-5
+  kernel) remains the probe's collision fallback and the test oracle.
 
 Accept iff jaccard >= jaccard_floor OR lcs >= max(lcs_min_chars,
 lcs_min_ratio * min(len_a, len_b)).
@@ -202,8 +204,9 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
       3. survivors face the EXACT O(n) probe at the pair's true threshold
          (kernels._confirm_common_run: hash hits confirmed by substring
          compare — collisions cost work, never a wrong answer);
-      4. only probe-accepted pairs (real near-dups) pay the O(n log n)
-         suffix array, and only to RECORD the evidence length.
+      4. only probe-accepted pairs (real near-dups) pay the evidence-
+         length computation — a binary search over the exact probe, not
+         a suffix array (same value, ~5x cheaper; dominant accept cost).
     Rejected pairs report lcs=0 ("not computed"); pairs skipped by (1)
     report jaccard=-1.0 ("not computed") — downstream consumes accepted
     rows only.
@@ -305,8 +308,11 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                 # exact probe at the pair's true threshold
                 if not K.has_common_run(ca, cb, threshold):
                     continue
-                # real near-dup: record full evidence
-                ln = K.longest_common_substring(ca, cb)
+                # real near-dup: record full evidence. Binary search over
+                # the exact probe (threshold is known feasible) returns the
+                # same max-run length as the suffix array ~5x cheaper —
+                # this was the dominant verify cost once accepts are many.
+                ln = K.longest_common_run_from(ca, cb, threshold)
                 lcs[i] = ln
                 ok[i] = ln >= threshold
                 if ok[i] and jac[i] < 0.0:

@@ -387,3 +387,33 @@ def test_native_disable_env_falls_back(monkeypatch):
     monkeypatch.setattr(_native, "LIB", None)
     without = K.minhash_from_hashes(sh, a, b)
     np.testing.assert_array_equal(with_native, without)
+
+
+def test_longest_common_run_from_equals_suffix_array():
+    """The binary-probe evidence kernel must return EXACTLY the suffix-array
+    LCS whenever its precondition holds (a feasible lower bound)."""
+    import numpy as np
+
+    from dedup import kernels as K
+
+    rng = np.random.default_rng(17)
+    alpha = "abcdefgh "
+    for _ in range(60):
+        n = int(rng.integers(20, 400))
+        a = "".join(rng.choice(list(alpha), size=n))
+        # plant a shared run of random length inside b
+        run_len = int(rng.integers(5, max(6, n // 2)))
+        start = int(rng.integers(0, n - run_len + 1))
+        run = a[start:start + run_len]
+        b = (
+            "".join(rng.choice(list(alpha), size=int(rng.integers(10, 200))))
+            + run
+            + "".join(rng.choice(list(alpha), size=int(rng.integers(10, 200))))
+        )
+        true_lcs = K.longest_common_substring(a, b)
+        for lo in {1, run_len // 2 or 1, run_len}:
+            if K.has_common_run(a, b, lo):
+                assert K.longest_common_run_from(a, b, lo) == true_lcs
+    # identical strings: full length
+    s = "x" * 137
+    assert K.longest_common_run_from(s, s, 1) == 137
