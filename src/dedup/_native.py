@@ -6,7 +6,10 @@ batch); numpy streams it at ~320M ops/s where a `-march=native` C loop
 (AVX-512DQ has the 64-bit vector multiply) runs ~15x faster on this host.
 The C source below is compiled ON THE EXECUTING HOST at first import with
 the system cc — no prebuilt binaries, no pip — cached under the user cache
-dir keyed by a hash of the source + compiler flags, loaded via ctypes.
+dir keyed by a hash of the source + compiler flags + CPU identity
+(machine arch + /proc/cpuinfo feature flags — a shared NFS cache across
+heterogeneous hosts must not hand an AVX-512 binary to a host without
+AVX-512), loaded via ctypes.
 
 Strictly an accelerator, never a semantic layer:
 - every function is BIT-IDENTICAL to its numpy reference in kernels.py
@@ -29,6 +32,7 @@ from __future__ import annotations
 import ctypes
 import hashlib
 import os
+import platform
 import subprocess
 import tempfile
 from pathlib import Path
@@ -87,10 +91,31 @@ uint64_t simhash64(const uint64_t *sh, long n) {
 """
 
 
+def _cpu_identity() -> str:
+    """CPU identity folded into the cache key. `-march=native` binaries are
+    host-ISA-specific; on a cluster with a shared (NFS) home, a worker on a
+    CPU lacking the compiling host's extensions (e.g. AVX-512) must NOT
+    load the cached .so — it would SIGILL at call time, past any
+    try/except. Keying by the ISA feature flags makes each CPU flavor
+    compile (and reuse) its own artifact."""
+    ident = platform.machine()
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith(("flags", "Features")):
+                    ident += " " + " ".join(sorted(line.split(":", 1)[1].split()))
+                    break
+    except OSError:  # non-Linux: fall back to processor string
+        ident += " " + platform.processor()
+    return ident
+
+
 def _build() -> "ctypes.CDLL | None":
     if os.environ.get("DEDUP_DISABLE_NATIVE"):
         return None
-    key = hashlib.sha256((" ".join(_CFLAGS) + _SRC).encode()).hexdigest()[:16]
+    key = hashlib.sha256(
+        (" ".join(_CFLAGS) + _SRC + "\n" + _cpu_identity()).encode()
+    ).hexdigest()[:16]
     cache_dir = Path(
         os.environ.get("XDG_CACHE_HOME", Path.home() / ".cache")
     ) / "dedup-native"

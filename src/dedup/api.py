@@ -42,7 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .config import DedupConfig
-from .storage import TableStore
+from .storage import StaleReplaceError, TableStore
 
 _LEDGER_SCHEMA = (
     "id string, context_id string, started_at timestamp, "
@@ -133,14 +133,36 @@ class DeduplicationContext:
             )
         )
 
-    def compact(self) -> None:
+    def compact(self, max_attempts: int = 5) -> None:
         """Fold the ledger log to one row per id (snapshot replace).
-        Maintenance only — results are identical before and after."""
-        if self.engine.store.exists(self._table):
+        Maintenance only — results are identical before and after.
+
+        The replace is CAS-guarded by the snapshot the fold was derived
+        from (ADVICE r4): an unguarded write here would silently drop any
+        segment a concurrent protect_detailed appended between our fold
+        read and the commit — losing completed results and re-running
+        their effects. On StaleReplaceError we re-derive from the current
+        state and retry (the TableStore._fold_log pattern)."""
+        store = self.engine.store
+        for _ in range(max_attempts):
+            if not store.exists(self._table):
+                return
+            snap = store.current_snapshot(self._table)
             folded = self._latest_rows()
             if "kbucket" not in folded.columns:  # pre-partitioning ledger
                 folded = _with_kbucket(folded)
-            self.engine.store.write(folded, self._table, ["kbucket"])
+            update = store.stage(folded, self._table, "replace", ["kbucket"])
+            try:
+                store.commit_many(
+                    {self._table: update}, expected={self._table: snap}
+                )
+                return
+            except StaleReplaceError:
+                continue  # a protect appended mid-fold; re-derive
+        raise StaleReplaceError(
+            f"compact of {self._table!r} lost the derive/commit race "
+            f"{max_attempts} times; ledger is being appended too hot to fold"
+        )
 
     # -- public surface ----------------------------------------------------
 

@@ -272,315 +272,325 @@ def ingest_batch(
     else:
         ledger.create(batch_id, _CTX, now)
 
-    # snapshots the guarded payloads below are DERIVED from. Captured BEFORE
-    # the reads (ADVICE r3): reads pin each table's segment list at
-    # DataFrame-construction time, so snapshotting first means a racing
-    # commit landing in between makes `expected` look OLDER than current
-    # and the CAS fails safe (StaleReplaceError) — snapshotting after the
-    # reads could make `expected` match the newer state while the payloads
-    # were derived from the older one, silently installing a stale merge.
-    replace_base = {
-        t: store.current_snapshot(t)
-        for t in ("bands_stats", "sim_stats", "clusters")
-    }
-    hashed_old = store.read(spark, "hashed")
-    reps_old = store.read(spark, "reps")
-    sigs_old = store.read(spark, "signatures")
-    clusters_raw = store.read(spark, "clusters")
-    clusters_old = read_clusters(spark, store)
+    # every per-ingest cache is tracked and released in the finally
+    # below (ADVICE r4: repeated ingests in a long-lived driver accumulated
+    # cached blocks until executor storage evicted under pressure)
+    cached: list[DataFrame] = []
 
-    # -- 1. hash; drop re-ingested natural keys ----------------------------
-    # (safe as a re-ingest guard because ingest commits are all-or-nothing:
-    # a doc_id present in `hashed` implies its index/cluster rows landed too)
-    hashed_new = stage_exact.hash_content(new_files).join(
-        hashed_old.select("doc_id"), "doc_id", "left_anti"
-    ).persist()
+    def _p(df: DataFrame) -> DataFrame:
+        cached.append(df.persist())
+        return df
 
-    # -- 2. exact inheritance against existing contents --------------------
-    sha_owner_old = hashed_old.groupBy("sha").agg(F.min("doc_id").alias("rep_id"))
-    matched = hashed_new.join(sha_owner_old, "sha", "left").persist()
-    known = matched.where(F.col("rep_id").isNotNull())
-    fresh = matched.where(F.col("rep_id").isNull()).drop("rep_id")
+    try:
+        # snapshots the guarded payloads below are DERIVED from. Captured BEFORE
+        # the reads (ADVICE r3): reads pin each table's segment list at
+        # DataFrame-construction time, so snapshotting first means a racing
+        # commit landing in between makes `expected` look OLDER than current
+        # and the CAS fails safe (StaleReplaceError) — snapshotting after the
+        # reads could make `expected` match the newer state while the payloads
+        # were derived from the older one, silently installing a stale merge.
+        replace_base = {
+            t: store.current_snapshot(t)
+            for t in ("bands_stats", "sim_stats", "clusters")
+        }
+        hashed_old = store.read(spark, "hashed")
+        reps_old = store.read(spark, "reps")
+        sigs_old = store.read(spark, "signatures")
+        clusters_raw = store.read(spark, "clusters")
+        clusters_old = read_clusters(spark, store)
 
-    # -- 3. within-batch exact dedup + new representatives -----------------
-    fresh_owner = fresh.groupBy("sha").agg(F.min("doc_id").alias("rep_id"))
-    fresh = fresh.join(fresh_owner, "sha").persist()
-    reps_new = fresh.where(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
+        # -- 1. hash; drop re-ingested natural keys ----------------------------
+        # (safe as a re-ingest guard because ingest commits are all-or-nothing:
+        # a doc_id present in `hashed` implies its index/cluster rows landed too)
+        hashed_new = _p(stage_exact.hash_content(new_files).join(
+            hashed_old.select("doc_id"), "doc_id", "left_anti"
+        ))
 
-    # -- 4. signatures for new reps only (one fused UDF pass computes both
-    # channels — content crosses Arrow once; bit-identical outputs) ---------
-    joint_new = stage_minhash.joint_signatures(reps_new, config).persist()
-    sigs_new = joint_new.select("doc_id", "sig")
-    bands_new = stage_minhash.band_rows(joint_new).persist()
-    sims_new = joint_new.select("doc_id", "simhash", "blocks")
+        # -- 2. exact inheritance against existing contents --------------------
+        sha_owner_old = hashed_old.groupBy("sha").agg(F.min("doc_id").alias("rep_id"))
+        matched = _p(hashed_new.join(sha_owner_old, "sha", "left"))
+        known = matched.where(F.col("rep_id").isNotNull())
+        fresh = matched.where(F.col("rep_id").isNull()).drop("rep_id")
 
-    # -- 5. candidates: new-new (capped) + new-old (guarded index probe) ----
-    nn_lsh = stage_minhash.candidate_pairs(bands_new, config)
+        # -- 3. within-batch exact dedup + new representatives -----------------
+        fresh_owner = fresh.groupBy("sha").agg(F.min("doc_id").alias("rep_id"))
+        fresh = _p(fresh.join(fresh_owner, "sha"))
+        reps_new = fresh.where(F.col("doc_id") == F.col("rep_id")).drop("rep_id")
 
-    # partition-pruned read: only pbuckets the batch touches reach the scan
-    bands_new_pb = stage_minhash.with_pbucket(bands_new).persist()
-    touched = [
-        int(r[0]) for r in bands_new_pb.select("pbucket").distinct().collect()
-    ]
-    bands_old = store.read(spark, "bands").where(F.col("pbucket").isin(touched))
-    # stats: prune to touched pbuckets at the SCAN, resolve latest-wins over
-    # only those partitions, then keep just the buckets this batch hits —
-    # the probe input AND the merge's old side are both O(batch x bands)
-    new_band_stats = stage_minhash.band_stats(bands_new).persist()
-    band_stats_raw = store.read(spark, "bands_stats")
-    bs_is_log = "_v" in band_stats_raw.columns
-    band_stats_res = _read_latest(
-        spark, store, "bands_stats", ["band_id", "band_hash"],
-        prune=(lambda df: df.where(F.col("pbucket").isin(touched)))
-        if bs_is_log else None,
-    )
-    band_stats_old = (
-        band_stats_res.join(
-            new_band_stats.select("band_id", "band_hash"),
-            ["band_id", "band_hash"], "left_semi",
+        # -- 4. signatures for new reps only (one fused UDF pass computes both
+        # channels — content crosses Arrow once; bit-identical outputs) ---------
+        joint_new = _p(stage_minhash.joint_signatures(reps_new, config))
+        sigs_new = joint_new.select("doc_id", "sig")
+        bands_new = _p(stage_minhash.band_rows(joint_new))
+        sims_new = joint_new.select("doc_id", "simhash", "blocks")
+
+        # -- 5. candidates: new-new (capped) + new-old (guarded index probe) ----
+        nn_lsh = stage_minhash.candidate_pairs(bands_new, config)
+
+        # partition-pruned read: only pbuckets the batch touches reach the scan
+        bands_new_pb = _p(stage_minhash.with_pbucket(bands_new))
+        touched = [
+            int(r[0]) for r in bands_new_pb.select("pbucket").distinct().collect()
+        ]
+        bands_old = store.read(spark, "bands").where(F.col("pbucket").isin(touched))
+        # stats: prune to touched pbuckets at the SCAN, resolve latest-wins over
+        # only those partitions, then keep just the buckets this batch hits —
+        # the probe input AND the merge's old side are both O(batch x bands)
+        new_band_stats = _p(stage_minhash.band_stats(bands_new))
+        band_stats_raw = store.read(spark, "bands_stats")
+        bs_is_log = "_v" in band_stats_raw.columns
+        band_stats_res = _read_latest(
+            spark, store, "bands_stats", ["band_id", "band_hash"],
+            prune=(lambda df: df.where(F.col("pbucket").isin(touched)))
+            if bs_is_log else None,
         )
-        .select("band_id", "band_hash", "bsz", "pivot")
-        .persist()
-    )
-    no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
-
-    nn_sim = stage_simhash.candidate_pairs(sims_new, config)
-
-    # partition-pruned read, mirroring the bands probe above: only the
-    # sbuckets the batch touches reach the sim_blocks scan (the round-2
-    # probe read the whole simhashes table per ingest — O(index) per batch)
-    blocks_new = stage_simhash.with_sbucket(
-        stage_simhash.block_rows(sims_new)
-    ).persist()
-    touched_s = [
-        int(r[0]) for r in blocks_new.select("sbucket").distinct().collect()
-    ]
-    if store.exists("sim_blocks"):
-        sim_blocks_old = store.read(spark, "sim_blocks").where(
-            F.col("sbucket").isin(touched_s)
+        band_stats_old = _p(
+            band_stats_res.join(
+                new_band_stats.select("band_id", "band_hash"),
+                ["band_id", "band_hash"], "left_semi",
+            )
+            .select("band_id", "band_hash", "bsz", "pivot")
         )
-        sb_stage = ("append", blocks_new.repartition(F.col("sbucket")))
-    else:
-        # backfill (ADVICE r3): a work dir whose simhash stage completed
-        # before the sim_blocks index existed derives it ONCE from the
-        # committed simhashes table, mirroring the fingerprints backfill
-        sb_all = stage_simhash.with_sbucket(
-            stage_simhash.block_rows(store.read(spark, "simhashes"))
-        ).persist()
-        sim_blocks_old = sb_all.where(F.col("sbucket").isin(touched_s))
-        sb_stage = (
-            "replace",
-            sb_all.unionByName(blocks_new).repartition(F.col("sbucket")),
-        )
-    new_sim_stats = stage_simhash.block_stats(sims_new).persist()
-    sim_stats_raw = store.read(spark, "sim_stats")
-    ss_is_log = "_v" in sim_stats_raw.columns
-    sim_stats_res = _read_latest(
-        spark, store, "sim_stats", ["block_id", "block_val"],
-        prune=(lambda df: df.where(F.col("sbucket").isin(touched_s)))
-        if ss_is_log else None,
-    )
-    sim_stats_old = (
-        sim_stats_res.join(
-            new_sim_stats.select("block_id", "block_val"),
-            ["block_id", "block_val"], "left_semi",
-        )
-        .select("block_id", "block_val", "bsz", "pivot", "pivot_simhash")
-        .persist()
-    )
-    no_sim = probe_block_index(blocks_new, sim_blocks_old, sim_stats_old, config)
+        no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
 
-    cand = (
-        nn_lsh.unionByName(no_lsh).unionByName(nn_sim).unionByName(no_sim)
-        .dropDuplicates(["src", "dst"])
-    )
+        nn_sim = stage_simhash.candidate_pairs(sims_new, config)
 
-    # -- 6. verification over combined reps/signatures ---------------------
-    reps_all = reps_old.select("doc_id", "content").unionByName(
-        reps_new.select("doc_id", "content")
-    )
-    sigs_all = sigs_old.select("doc_id", "sig").unionByName(
-        sigs_new.select("doc_id", "sig")
-    )
-    # fingerprints are persisted alongside the other indexes so each ingest
-    # fingerprints ONLY its new reps (ADVICE r2: the fps=None default ran
-    # the pandas UDF over the whole corpus per batch); a pre-fingerprint
-    # store is backfilled once, then the table grows by appends
-    fps_new = stage_verify.doc_fingerprints(reps_new, config).persist()
-    if store.exists("fingerprints"):
-        fps_all = store.read(spark, "fingerprints").unionByName(fps_new)
-        fp_stage = ("append", fps_new)
-    else:
-        fps_all = (
-            stage_verify.doc_fingerprints(reps_old, config)
-            .unionByName(fps_new)
-            .persist()
+        # partition-pruned read, mirroring the bands probe above: only the
+        # sbuckets the batch touches reach the sim_blocks scan (the round-2
+        # probe read the whole simhashes table per ingest — O(index) per batch)
+        blocks_new = _p(stage_simhash.with_sbucket(
+            stage_simhash.block_rows(sims_new)
+        ))
+        touched_s = [
+            int(r[0]) for r in blocks_new.select("sbucket").distinct().collect()
+        ]
+        if store.exists("sim_blocks"):
+            sim_blocks_old = store.read(spark, "sim_blocks").where(
+                F.col("sbucket").isin(touched_s)
+            )
+            sb_stage = ("append", blocks_new.repartition(F.col("sbucket")))
+        else:
+            # backfill (ADVICE r3): a work dir whose simhash stage completed
+            # before the sim_blocks index existed derives it ONCE from the
+            # committed simhashes table, mirroring the fingerprints backfill
+            sb_all = _p(stage_simhash.with_sbucket(
+                stage_simhash.block_rows(store.read(spark, "simhashes"))
+            ))
+            sim_blocks_old = sb_all.where(F.col("sbucket").isin(touched_s))
+            sb_stage = (
+                "replace",
+                sb_all.unionByName(blocks_new).repartition(F.col("sbucket")),
+            )
+        new_sim_stats = _p(stage_simhash.block_stats(sims_new))
+        sim_stats_raw = store.read(spark, "sim_stats")
+        ss_is_log = "_v" in sim_stats_raw.columns
+        sim_stats_res = _read_latest(
+            spark, store, "sim_stats", ["block_id", "block_val"],
+            prune=(lambda df: df.where(F.col("sbucket").isin(touched_s)))
+            if ss_is_log else None,
         )
-        fp_stage = ("replace", fps_all)
-    verified = stage_verify.verify_edges(
-        stage_verify.prepare_pairs(cand, reps_all, sigs_all, config,
-                                   fps=fps_all),
-        config,
-        num_partitions=config.shuffle_partitions,
-    ).where("accepted").persist()
+        sim_stats_old = _p(
+            sim_stats_res.join(
+                new_sim_stats.select("block_id", "block_val"),
+                ["block_id", "block_val"], "left_semi",
+            )
+            .select("block_id", "block_val", "bsz", "pivot", "pivot_simhash")
+        )
+        no_sim = probe_block_index(blocks_new, sim_blocks_old, sim_stats_old, config)
 
-    # -- 7. clustering over the TOUCHED subgraph only (VERDICT r3 #6) ------
-    # Only components connected to this batch can change: new edges always
-    # have >= 1 new endpoint, and old components are stars onto cluster_id.
-    # So CC runs over (new edges + the star edges of old clusters any new
-    # edge touches) — O(batch + touched members) — and the output delta
-    # rewrites exactly (batch docs + touched members), never the corpus.
-    exact_edges = (
-        known.select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
-        .unionByName(
-            fresh.where(F.col("doc_id") != F.col("rep_id")).select(
-                F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
+        cand = (
+            nn_lsh.unionByName(no_lsh).unionByName(nn_sim).unionByName(no_sim)
+            .dropDuplicates(["src", "dst"])
+        )
+
+        # -- 6. verification over combined reps/signatures ---------------------
+        reps_all = reps_old.select("doc_id", "content").unionByName(
+            reps_new.select("doc_id", "content")
+        )
+        sigs_all = sigs_old.select("doc_id", "sig").unionByName(
+            sigs_new.select("doc_id", "sig")
+        )
+        # fingerprints are persisted alongside the other indexes so each ingest
+        # fingerprints ONLY its new reps (ADVICE r2: the fps=None default ran
+        # the pandas UDF over the whole corpus per batch); a pre-fingerprint
+        # store is backfilled once, then the table grows by appends
+        fps_new = _p(stage_verify.doc_fingerprints(reps_new, config))
+        if store.exists("fingerprints"):
+            fps_all = store.read(spark, "fingerprints").unionByName(fps_new)
+            fp_stage = ("append", fps_new)
+        else:
+            fps_all = _p(
+                stage_verify.doc_fingerprints(reps_old, config)
+                .unionByName(fps_new)
+            )
+            fp_stage = ("replace", fps_all)
+        verified = _p(stage_verify.verify_edges(
+            stage_verify.prepare_pairs(cand, reps_all, sigs_all, config,
+                                       fps=fps_all),
+            config,
+            num_partitions=config.shuffle_partitions,
+        ).where("accepted"))
+
+        # -- 7. clustering over the TOUCHED subgraph only (VERDICT r3 #6) ------
+        # Only components connected to this batch can change: new edges always
+        # have >= 1 new endpoint, and old components are stars onto cluster_id.
+        # So CC runs over (new edges + the star edges of old clusters any new
+        # edge touches) — O(batch + touched members) — and the output delta
+        # rewrites exactly (batch docs + touched members), never the corpus.
+        exact_edges = (
+            known.select(F.col("doc_id").alias("src"), F.col("rep_id").alias("dst"))
+            .unionByName(
+                fresh.where(F.col("doc_id") != F.col("rep_id")).select(
+                    F.col("doc_id").alias("src"), F.col("rep_id").alias("dst")
+                )
             )
         )
-    )
-    # O(batch) rows, referenced by three consumers (endpoints, CC input,
-    # membership); eager checkpoint both avoids re-deriving the verify
-    # chain per consumer and cuts the union-of-self-referencing-branches
-    # plan shape that trips Catalyst's rewriteConstraints
-    new_edges = exact_edges.unionByName(
-        verified.select("src", "dst")
-    ).localCheckpoint()
-    endpoints = (
-        new_edges.select(F.col("src").alias("doc_id"))
-        .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
-        .distinct()
-    )
-    touched_cids = (
-        clusters_old.join(endpoints, "doc_id")
-        .select("cluster_id").distinct()
-    )
-    # O(touched) rows; eagerly checkpointed, NOT persisted: the self-join of
-    # clusters_old (touched_cids is itself derived from it) inside a later
-    # Union trips Catalyst's union constraint rewriting (key-not-found in
-    # rewriteConstraints) — cutting the lineage here removes the self-join
-    # from every downstream plan and stops CC re-deriving the probe chain
-    # per iteration ([[spark-lazy-dag-recompute]])
-    members_old = clusters_old.join(touched_cids, "cluster_id").localCheckpoint()
-    sub_old_edges = members_old.where(
-        F.col("doc_id") != F.col("cluster_id")
-    ).select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst"))
-    labels, _ = stage_cluster.connected_components(
-        new_edges.unionByName(sub_old_edges)
-    )
-    delta_docs = hashed_new.select("doc_id", "sha").unionByName(
-        hashed_old.select("doc_id", "sha").join(
-            members_old.select("doc_id"), "doc_id"
+        # O(batch) rows, referenced by three consumers (endpoints, CC input,
+        # membership); eager checkpoint both avoids re-deriving the verify
+        # chain per consumer and cuts the union-of-self-referencing-branches
+        # plan shape that trips Catalyst's rewriteConstraints
+        new_edges = exact_edges.unionByName(
+            verified.select("src", "dst")
+        ).localCheckpoint()
+        endpoints = (
+            new_edges.select(F.col("src").alias("doc_id"))
+            .unionByName(new_edges.select(F.col("dst").alias("doc_id")))
+            .distinct()
         )
-    )
-    assigned = (
-        delta_docs.join(labels, "doc_id", "left")
-        .select(
-            "doc_id", "sha",
-            F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+        touched_cids = (
+            clusters_old.join(endpoints, "doc_id")
+            .select("cluster_id").distinct()
         )
-    )
-    # method: a cluster spanning >=2 distinct contents is 'near', one content
-    # 'exact' — equivalent to the batch pipeline's labeling (near components
-    # always join distinct shas; exact groups share one sha). A changed
-    # cluster's FULL membership is inside the delta (touched members + new
-    # docs), so the span computed over the delta is the true span; untouched
-    # clusters keep their stored rows and labels verbatim.
-    sha_span = assigned.groupBy("cluster_id").agg(
-        F.countDistinct("sha").alias("n_shas")
-    )
-    clusters_delta = (
-        assigned.join(sha_span, "cluster_id")
-        .select(
-            "doc_id",
-            "cluster_id",
-            (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
-            F.when(F.col("n_shas") >= 2, "near").otherwise("exact").alias("method"),
+        # O(touched) rows; eagerly checkpointed, NOT persisted: the self-join of
+        # clusters_old (touched_cids is itself derived from it) inside a later
+        # Union trips Catalyst's union constraint rewriting (key-not-found in
+        # rewriteConstraints) — cutting the lineage here removes the self-join
+        # from every downstream plan and stops CC re-deriving the probe chain
+        # per iteration ([[spark-lazy-dag-recompute]])
+        members_old = clusters_old.join(touched_cids, "cluster_id").localCheckpoint()
+        sub_old_edges = members_old.where(
+            F.col("doc_id") != F.col("cluster_id")
+        ).select(F.col("doc_id").alias("src"), F.col("cluster_id").alias("dst"))
+        labels, _ = stage_cluster.connected_components(
+            new_edges.unionByName(sub_old_edges)
         )
-    )
-    # delta stamped one version above every committed segment; pre-log
-    # stores (no _v) migrate once via a full rewrite at _v=0 + this delta
-    v_next = len(store.paths("clusters"))
-    clusters_delta = clusters_delta.withColumn(
-        "_v", F.lit(v_next).cast("int")
-    )
-    if "_v" in clusters_raw.columns:
-        cl_stage = ("append", clusters_delta)
-    else:
-        unchanged = clusters_old.join(
-            clusters_delta.select("doc_id"), "doc_id", "left_anti"
-        ).withColumn("_v", F.lit(0).cast("int"))
-        cl_stage = ("replace", unchanged.unionByName(clusters_delta))
+        delta_docs = hashed_new.select("doc_id", "sha").unionByName(
+            hashed_old.select("doc_id", "sha").join(
+                members_old.select("doc_id"), "doc_id"
+            )
+        )
+        assigned = (
+            delta_docs.join(labels, "doc_id", "left")
+            .select(
+                "doc_id", "sha",
+                F.coalesce("cluster_id", "doc_id").alias("cluster_id"),
+            )
+        )
+        # method: a cluster spanning >=2 distinct contents is 'near', one content
+        # 'exact' — equivalent to the batch pipeline's labeling (near components
+        # always join distinct shas; exact groups share one sha). A changed
+        # cluster's FULL membership is inside the delta (touched members + new
+        # docs), so the span computed over the delta is the true span; untouched
+        # clusters keep their stored rows and labels verbatim.
+        sha_span = assigned.groupBy("cluster_id").agg(
+            F.countDistinct("sha").alias("n_shas")
+        )
+        clusters_delta = (
+            assigned.join(sha_span, "cluster_id")
+            .select(
+                "doc_id",
+                "cluster_id",
+                (F.col("doc_id") == F.col("cluster_id")).alias("is_canonical"),
+                F.when(F.col("n_shas") >= 2, "near").otherwise("exact").alias("method"),
+            )
+        )
+        # delta stamped one version above every committed segment; pre-log
+        # stores (no _v) migrate once via a full rewrite at _v=0 + this delta
+        v_next = len(store.paths("clusters"))
+        clusters_delta = clusters_delta.withColumn(
+            "_v", F.lit(v_next).cast("int")
+        )
+        if "_v" in clusters_raw.columns:
+            cl_stage = ("append", clusters_delta)
+        else:
+            unchanged = clusters_old.join(
+                clusters_delta.select("doc_id"), "doc_id", "left_anti"
+            ).withColumn("_v", F.lit(0).cast("int"))
+            cl_stage = ("replace", unchanged.unionByName(clusters_delta))
 
-    # -- 8. stage everything, publish in ONE atomic catalog CAS ------------
-    updates = {
-        "hashed": store.stage(
-            hashed_new.select(*hashed_old.columns), "hashed", "append"
-        ),
-        "reps": store.stage(
-            reps_new.select(*reps_old.columns), "reps", "append"
-        ),
-        "signatures": store.stage(
-            sigs_new.select("doc_id", "sig"), "signatures", "append"
-        ),
-        "bands": store.stage(
-            bands_new_pb.repartition(F.col("pbucket")), "bands", "append",
-            ["pbucket"],
-        ),
-        "simhashes": store.stage(
-            sims_new.select("doc_id", "simhash", "blocks"), "simhashes",
-            "append",
-        ),
-        "sim_blocks": store.stage(
-            sb_stage[1], "sim_blocks", sb_stage[0], ["sbucket"],
-        ),
-        # stats are log-structured upserts (same treatment as clusters):
-        # the delta holds ONLY the buckets this batch touched, appended at
-        # the next _v; latest-wins reads supersede the old rows. A legacy
-        # full-table layout (no _v) migrates once via a full rewrite —
-        # appending a partitioned segment to it would poison unionByName.
-        "bands_stats": store.stage(
-            *_stats_stage(
-                bs_is_log, band_stats_old, band_stats_raw, new_band_stats,
-                _merge_band_stats, stage_minhash.with_pbucket,
-                len(store.paths("bands_stats")), "bands_stats",
+        # -- 8. stage everything, publish in ONE atomic catalog CAS ------------
+        updates = {
+            "hashed": store.stage(
+                hashed_new.select(*hashed_old.columns), "hashed", "append"
             ),
-            ["pbucket"],
-        ),
-        "sim_stats": store.stage(
-            *_stats_stage(
-                ss_is_log, sim_stats_old, sim_stats_raw, new_sim_stats,
-                _merge_sim_stats, stage_simhash.with_sbucket,
-                len(store.paths("sim_stats")), "sim_stats",
+            "reps": store.stage(
+                reps_new.select(*reps_old.columns), "reps", "append"
             ),
-            ["sbucket"],
-        ),
-        "clusters": store.stage(cl_stage[1], "clusters", cl_stage[0]),
-        "fingerprints": store.stage(fp_stage[1], "fingerprints", fp_stage[0]),
-    }
-    store.commit_many(updates, expected=replace_base)
-    snapshots = {t: store.current_snapshot(t) for t in updates}
-    ledger.mark_completed(
-        batch_id, _CTX,
-        {"snapshots": snapshots, "config_hash": config.config_hash()},
-        time.time(), config.ttl_s,
-    )
-    # maintenance: fold any appended index past the segment threshold back
-    # to one segment (post-completion, so a crash here costs nothing; a
-    # concurrent append makes compact a guarded no-op). The upsert LOGS
-    # (clusters, both stats tables) get a SEMANTIC fold instead:
-    # superseded rows are dropped, the survivors restamped _v=0 — the
-    # Iceberg rewrite_data_files analogue for a MERGE INTO target.
-    logs = {
-        "clusters": (["doc_id"], None),
-        "bands_stats": (["band_id", "band_hash"], ["pbucket"]),
-        "sim_stats": (["block_id", "block_val"], ["sbucket"]),
-    }
-    for t, u in updates.items():
-        if u.mode == "append" and t not in logs:
-            store.compact(spark, t, min_segments=config.compact_segments)
-    for t, (keys, part) in logs.items():
-        _fold_log(spark, store, t, keys, config.compact_segments, part)
-    return read_clusters(spark, store)
+            "signatures": store.stage(
+                sigs_new.select("doc_id", "sig"), "signatures", "append"
+            ),
+            "bands": store.stage(
+                bands_new_pb.repartition(F.col("pbucket")), "bands", "append",
+                ["pbucket"],
+            ),
+            "simhashes": store.stage(
+                sims_new.select("doc_id", "simhash", "blocks"), "simhashes",
+                "append",
+            ),
+            "sim_blocks": store.stage(
+                sb_stage[1], "sim_blocks", sb_stage[0], ["sbucket"],
+            ),
+            # stats are log-structured upserts (same treatment as clusters):
+            # the delta holds ONLY the buckets this batch touched, appended at
+            # the next _v; latest-wins reads supersede the old rows. A legacy
+            # full-table layout (no _v) migrates once via a full rewrite —
+            # appending a partitioned segment to it would poison unionByName.
+            "bands_stats": store.stage(
+                *_stats_stage(
+                    bs_is_log, band_stats_old, band_stats_raw, new_band_stats,
+                    _merge_band_stats, stage_minhash.with_pbucket,
+                    len(store.paths("bands_stats")), "bands_stats",
+                ),
+                ["pbucket"],
+            ),
+            "sim_stats": store.stage(
+                *_stats_stage(
+                    ss_is_log, sim_stats_old, sim_stats_raw, new_sim_stats,
+                    _merge_sim_stats, stage_simhash.with_sbucket,
+                    len(store.paths("sim_stats")), "sim_stats",
+                ),
+                ["sbucket"],
+            ),
+            "clusters": store.stage(cl_stage[1], "clusters", cl_stage[0]),
+            "fingerprints": store.stage(fp_stage[1], "fingerprints", fp_stage[0]),
+        }
+        store.commit_many(updates, expected=replace_base)
+        snapshots = {t: store.current_snapshot(t) for t in updates}
+        ledger.mark_completed(
+            batch_id, _CTX,
+            {"snapshots": snapshots, "config_hash": config.config_hash()},
+            time.time(), config.ttl_s,
+        )
+        # maintenance: fold any appended index past the segment threshold back
+        # to one segment (post-completion, so a crash here costs nothing; a
+        # concurrent append makes compact a guarded no-op). The upsert LOGS
+        # (clusters, both stats tables) get a SEMANTIC fold instead:
+        # superseded rows are dropped, the survivors restamped _v=0 — the
+        # Iceberg rewrite_data_files analogue for a MERGE INTO target.
+        logs = {
+            "clusters": (["doc_id"], None),
+            "bands_stats": (["band_id", "band_hash"], ["pbucket"]),
+            "sim_stats": (["block_id", "block_val"], ["sbucket"]),
+        }
+        for t, u in updates.items():
+            if u.mode == "append" and t not in logs:
+                store.compact(spark, t, min_segments=config.compact_segments)
+        for t, (keys, part) in logs.items():
+            _fold_log(spark, store, t, keys, config.compact_segments, part)
+        return read_clusters(spark, store)
+    finally:
+        for df in cached:
+            df.unpersist()
 
 
 def _fold_log(

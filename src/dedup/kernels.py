@@ -71,9 +71,15 @@ def _window_hashes_np(data: np.ndarray, k: int) -> np.ndarray:
 def _window_hashes(data: np.ndarray, k: int) -> np.ndarray:
     if _native.LIB is not None:
         out = np.empty(data.size - k + 1, dtype=np.uint64)
+        # Bind every buffer to a local that outlives the call: ctypes
+        # argument conversion allocates, so a temporary like
+        # `_poly_powers(k).ctypes.data` can be freed (and its memory
+        # reused) before the native code reads it.
+        cdata = np.ascontiguousarray(data)
+        powers = _poly_powers(k)
         _native.LIB.window_hashes(
-            np.ascontiguousarray(data).ctypes.data, data.size, k,
-            _poly_powers(k).ctypes.data, out.ctypes.data,
+            cdata.ctypes.data, cdata.size, k,
+            powers.ctypes.data, out.ctypes.data,
         )
         return out
     return _window_hashes_np(data.astype(np.uint64), k)
@@ -235,12 +241,15 @@ def minhash_from_hashes(
         return np.full(a.size, MAX_HASH_32, dtype=np.uint64)
     if _native.LIB is not None:
         out = np.empty(a.size, dtype=np.uint64)
+        # Locals keep the (possibly copied) buffers alive across the call
+        # — see _window_hashes for the use-after-free this prevents.
+        csh = np.ascontiguousarray(shingle_hashes)
+        ca = np.ascontiguousarray(a)
+        cb = np.ascontiguousarray(b)
         _native.LIB.minhash_fold(
-            np.ascontiguousarray(shingle_hashes).ctypes.data,
-            shingle_hashes.size,
-            np.ascontiguousarray(a).ctypes.data,
-            np.ascontiguousarray(b).ctypes.data,
-            a.size, out.ctypes.data,
+            csh.ctypes.data, csh.size,
+            ca.ctypes.data, cb.ctypes.data,
+            ca.size, out.ctypes.data,
         )
         return out
     return _minhash_from_hashes_np(shingle_hashes, a, b)

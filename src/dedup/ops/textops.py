@@ -262,29 +262,47 @@ WHERE floor((cast(shared as double) / (na + nb - shared)) * 10000 + 0.5) / 10000
 
 
 def doc_zscore_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-language length z-scores via applyInPandas (grouped-map UDF
-    surface, SURVEY.md section 2.2 UDF row) — the oracle is the equivalent
-    window aggregation, proving the grouped-map path agrees with native SQL."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    """Per-language length z-scores (grouped-map UDF surface, SURVEY.md
+    section 2.2 UDF row) — the oracle is the equivalent window aggregation,
+    proving the grouped-map path agrees with native SQL.
+
+    Scale shape (VERDICT r4): the per-lang moments come from a map-side
+    partial `groupBy().agg()` whose output is one row per language,
+    broadcast back onto the rows — never a whole language in one executor
+    (the previous groupBy(lang).applyInPandas materialized one pandas frame
+    per language; at 10^12 files one language is most of the corpus). The
+    applyInPandas demonstration now runs the per-row arithmetic grouped on
+    a SALTED key, so every group is ~one shuffle partition regardless of
+    language skew — bounded by the same knob that bounds every other
+    partition in the job."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    stats = docs.groupBy("lang").agg(
+        F.avg("n_chars").alias("mu"),
+        F.stddev_samp("n_chars").alias("sd"),
+    )
+    joined = docs.join(F.broadcast(stats), "lang")
+    n_groups = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def _z(pdf):
         import numpy as np
-        import pandas as pd
 
-        mu = pdf.n_chars.mean()
-        sd = pdf.n_chars.std(ddof=1)
-        # degenerate groups (one row -> sd NaN, constant -> sd 0) must yield
-        # NULL exactly like the oracle's stddev_samp CASE, not 0.0
-        if sd is None or not np.isfinite(sd) or sd <= 0:
-            z = pd.Series(np.nan, index=pdf.index, dtype="float64")
-        else:
-            z = (pdf.n_chars - mu) / sd
-        return pdf.assign(zscore=np.floor(z * 10000 + 0.5) / 10000)[
-            ["doc_id", "lang", "zscore"]
-        ]
+        n = pdf.n_chars.to_numpy(dtype="float64")
+        mu = pdf.mu.to_numpy(dtype="float64")
+        sd = pdf.sd.to_numpy(dtype="float64")
+        # degenerate languages (one row -> sd NULL/NaN, constant -> sd 0)
+        # must yield NULL exactly like the oracle's stddev_samp CASE
+        ok = np.isfinite(sd) & (sd > 0)
+        z = np.where(ok, (n - mu) / np.where(ok, sd, 1.0), np.nan)
+        return pdf[["doc_id", "lang"]].assign(
+            zscore=np.floor(z * 10000 + 0.5) / 10000
+        )
 
-    return docs.groupBy("lang").applyInPandas(
-        _z, "doc_id long, lang string, zscore double"
+    return (
+        joined.withColumn("_g", F.pmod(F.xxhash64("doc_id"), F.lit(n_groups)))
+        .groupBy("_g")
+        .applyInPandas(_z, "doc_id long, lang string, zscore double")
     )
 
 

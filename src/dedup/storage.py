@@ -181,12 +181,22 @@ class TableStore:
 
     def write_pandas(self, pdf, name: str) -> str:
         """Snapshot-commit a pandas DataFrame (small control tables)."""
+        return self._commit_pandas(pdf, name, "replace")
+
+    def append_pandas(self, pdf, name: str) -> str:
+        """Append a pandas DataFrame as a new segment — O(new rows) per
+        call, unlike read-concat-rewrite which is O(history) (ADVICE r4:
+        per-stage control-table writes grew with every run sharing a
+        work_dir)."""
+        return self._commit_pandas(pdf, name, "append")
+
+    def _commit_pandas(self, pdf, name: str, mode: str) -> str:
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)
         seg = f"seg-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
         (tdir / seg).mkdir()
         pdf.to_parquet(tdir / seg / "part-0.parquet", index=False)
-        self.commit_many({name: TableUpdate("replace", [seg])})
+        self.commit_many({name: TableUpdate(mode, [seg])})
         return self.current_snapshot(name)
 
     # -- reads -------------------------------------------------------------

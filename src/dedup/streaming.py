@@ -52,6 +52,8 @@ def protect_stream_stateful(
     completion_col: str = "is_completion",
     max_processing_time_s: float = 3600.0,
     result_col: str | None = None,
+    ttl_s: float | None = None,
+    watermark: str = "0 seconds",
 ) -> DataFrame:
     """Full keyed-idempotency state machine as a stateful streaming operator.
 
@@ -71,16 +73,50 @@ def protect_stream_stateful(
     state and REPLAYED to every later duplicate arrival — protect(id, fa)
     returns the first winner's stored value to all callers, not just a
     'duplicate' label (DeduplicationContext.scala:163-167).
+
+    `ttl_s` is the graft of the reference's TTL expiry (DynamoDB table TTL,
+    example.tf:32-35; re-run-after-expiry test DeduplicationSuite.scala:183-200)
+    and bounds the state store, which otherwise grows one entry per key
+    forever. Two mechanisms realize it:
+      - arrival-time expiry: an event arriving at epoch > expires_at
+        (last claim/completion + ttl_s) sees the key as ABSENT — decision
+        'new', effect re-runs — exactly the batch ledger's EXPIRED status;
+      - event-time state DROP: the state carries expires_at and registers
+        it as an EventTimeTimeout; once the watermark passes it with no new
+        arrival, the state row is physically removed, so the store holds
+        only live keys. Requires a watermark on `ts_col` (the `watermark`
+        delay is applied here when ttl_s is set).
+
+    State-schema compatibility (ADVICE r4): the per-key state layout depends
+    on the features enabled — (started_at, completed, result) by default,
+    + expires_at when ttl_s is set. Changing ttl_s (or, historically,
+    result_col) across a restart fails Spark's state-schema check against
+    an existing checkpoint: enabling/disabling TTL requires a FRESH
+    checkpoint location.
+
     Output: (id, context, ts, decision, result) — result is the stored
     payload on 'completed'/'duplicate' rows, null otherwise.
     """
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+    has_ttl = ttl_s is not None
+
     def classify(key, pdfs, state: "GroupState"):
         import pandas as pd  # noqa: PLC0415 — executor-side import
 
+        out_cols = ["id", "context", "ts", "decision", "result"]
+        if state.hasTimedOut:
+            # watermark passed expires_at with no new arrival: the key's
+            # retention window is over — drop the row (DynamoDB TTL sweep)
+            state.remove()
+            yield pd.DataFrame(columns=out_cols)
+            return
+        expires_at = None
         if state.exists:
-            started_at, completed, result = state.get
+            if has_ttl:
+                started_at, completed, result, expires_at = state.get
+            else:
+                started_at, completed, result = state.get
         else:
             started_at, completed, result = None, False, None
         out = []
@@ -96,6 +132,11 @@ def protect_stream_stateful(
             for i in range(len(pdf)):
                 epoch = float(epochs[i])
                 emitted = None
+                if has_ttl and expires_at is not None and epoch > expires_at:
+                    # expired key looks ABSENT: re-claim + re-run
+                    # (ledger.Status.EXPIRED precedence, ledger.py:58-104)
+                    started_at, completed, result = None, False, None
+                    expires_at = None
                 if comp_vals[i]:
                     completed = True
                     if started_at is None:
@@ -117,36 +158,53 @@ def protect_stream_stateful(
                     decision = "takeover"
                 else:
                     decision = "running"
+                if has_ttl and decision in ("new", "takeover", "completed"):
+                    # only state-WRITING events refresh the retention window
+                    # (running/duplicate don't rewrite the reference's row)
+                    expires_at = epoch + ttl_s
                 out.append((key[0], key[1], ts_vals[i], decision, emitted))
-        state.update((started_at, completed, result))
-        yield pd.DataFrame(
-            out, columns=["id", "context", "ts", "decision", "result"]
-        )
+        if has_ttl:
+            state.update((started_at, completed, result, expires_at))
+            if expires_at is not None:
+                # must exceed the current watermark or Spark rejects it;
+                # an already-past expiry fires at the next micro-batch
+                state.setTimeoutTimestamp(
+                    max(int(expires_at * 1000),
+                        state.getCurrentWatermarkMs() + 1)
+                )
+        else:
+            state.update((started_at, completed, result))
+        yield pd.DataFrame(out, columns=out_cols)
 
     result_expr = (
         F.col(result_col).cast("string") if result_col is not None
         else F.lit(None).cast("string")
     )
+    keyed = events.select(
+        F.col(id_col).cast("long").alias("id"),
+        F.col(context_col).alias("context"),
+        F.col(ts_col).alias(ts_col),
+        F.col(completion_col).cast("boolean").alias(completion_col),
+        result_expr.alias("result"),
+    )
+    state_schema = "started_at double, completed boolean, result string"
+    if has_ttl:
+        keyed = keyed.withWatermark(ts_col, watermark)
+        state_schema += ", expires_at double"
     return (
-        events.select(
-            F.col(id_col).cast("long").alias("id"),
-            F.col(context_col).alias("context"),
-            F.col(ts_col).alias(ts_col),
-            F.col(completion_col).cast("boolean").alias(completion_col),
-            result_expr.alias("result"),
-        )
-        .groupBy("id", "context")
+        keyed.groupBy("id", "context")
         .applyInPandasWithState(
             classify,
             outputStructType=(
                 "id long, context string, ts timestamp, decision string,"
                 " result string"
             ),
-            stateStructType=(
-                "started_at double, completed boolean, result string"
-            ),
+            stateStructType=state_schema,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout if has_ttl
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 

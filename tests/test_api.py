@@ -128,6 +128,43 @@ def test_compact_folds_log_and_preserves_results(spark, tmp_path):
     pd.testing.assert_frame_equal(before, after)
 
 
+def test_compact_is_cas_guarded_against_racing_protect(spark, engine):
+    """ADVICE r4: compact's snapshot replace must be CAS-guarded. A protect
+    that appends a completed batch BETWEEN compact's fold-read and its
+    commit must not have its segment dropped from the catalog — compact
+    re-derives from the post-append state and retries."""
+    ctx = engine.context("r")
+    ctx.protect_detailed(_ids(spark, "a"), CountingCompute())
+    ctx.protect_detailed(_ids(spark, "b"), CountingCompute())  # 2 segments
+
+    store = engine.store
+    orig_commit = store.commit_many
+    raced = {"fired": False}
+
+    def racing_commit(updates, expected=None):
+        # first guarded (replace) commit = compact's: inject a concurrent
+        # protect completing id "z" after the fold payload was derived
+        if expected and "_protect_r" in expected and not raced["fired"]:
+            raced["fired"] = True
+            ctx.protect_detailed(_ids(spark, "z"), CountingCompute())
+        return orig_commit(updates, expected=expected)
+
+    store.commit_many = racing_commit
+    try:
+        ctx.compact()
+    finally:
+        store.commit_many = orig_commit
+    assert raced["fired"]
+    led = store.read(spark, "_protect_r").toPandas()
+    assert sorted(led.id) == ["a", "b", "z"]  # z's completion survived
+    # and z's result replays (effect NOT re-run) — the contract the
+    # unguarded write would have broken
+    comp = CountingCompute()
+    out = ctx.protect_detailed(_ids(spark, "z"), comp).toPandas()
+    assert comp.ids_seen == []
+    assert out.is_duplicate.tolist() == [True]
+
+
 def test_typed_result_codec_roundtrip_through_ledger(spark, engine):
     """ResultCodec graft: typed results survive store + replay, and a ledger
     written under one codec refuses to decode under another."""

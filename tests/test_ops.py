@@ -155,11 +155,14 @@ def _planted_cluster_corpus(tmp_path, noise=0.05, n_centers=40, per=10):
 
 
 def test_ann_widened_planes_keep_recall(spark, tmp_path):
-    """VERDICT r3 #1 done-criterion: when the plane count widens beyond the
-    oracled 8 (the production ann_n_planes path at large corpora), ANN recall
-    vs brute-force top-5 must hold — the bucket space growing must not
-    degrade into the probe cap. Planted clusters (sim ~0.995 within), planes
-    12 and 14 (4096 / 16384 buckets for 400 vectors)."""
+    """VERDICT r3 #1 / r4 #4 done-criterion: when the plane count widens
+    beyond the oracled 8 (the production ann_n_planes path at large
+    corpora), ANN recall vs brute-force top-5 must hold — the bucket space
+    growing must not degrade into the probe cap OR past the probe radius.
+    Planted clusters (sim ~0.995 within); planes 12/14 exercise the
+    Hamming-1 band, 20/24 the query-directed multi-probe band
+    (2^20 = 1,048,576 and 2^24 = 16.7M buckets for 400 vectors — far wider
+    than occupancy sizing would ever pick: 2^n >> corpus/target_bucket)."""
     d = _planted_cluster_corpus(tmp_path)
     from dedup.ops import load_table
     from dedup.ops.similarity import _ann_topk, embedding_topk_cosine
@@ -170,7 +173,7 @@ def test_ann_widened_planes_keep_recall(spark, tmp_path):
     }
     assert exact
     emb = load_table(spark, d, "embeddings")
-    for n_planes in (12, 14):
+    for n_planes in (12, 14, 20, 24):
         got = {
             (r["q_id"], r["vec_id"])
             for r in _ann_topk(emb, n_planes=n_planes).collect()

@@ -80,3 +80,19 @@ def test_whole_stage_codegen_in_status_classifier(spark):
     # '*(n)' prefixes mark operators inside a WholeStageCodegen span
     plan = _plan(df)
     assert "*(1) Project" in plan and "CASE WHEN" in plan
+
+
+def test_zscore_grouped_map_is_salted_not_whole_language(spark):
+    """VERDICT r4 #2 done-criterion: doc_zscore_by_lang must never feed a
+    whole language into one pandas frame (at 10^12 files one language is
+    most of the corpus). The plan must show (a) per-lang moments from a
+    partial (map-side) aggregate, (b) those moments broadcast back onto the
+    rows, and (c) the grouped-map UDF keyed on the SALTED column, not lang."""
+    from dedup.ops.textops import doc_zscore_by_lang
+
+    plan = _plan(doc_zscore_by_lang(spark, "/root/testdata/sf0.001"))
+    assert "partial_avg" in plan and "partial_stddev_samp" in plan
+    assert "BroadcastHashJoin" in plan
+    gm = plan[plan.index("FlatMapGroupsInPandas"):].splitlines()[0]
+    key = gm.split("]", 1)[0]  # 'FlatMapGroupsInPandas [<grouping keys>'
+    assert "_g" in key and "lang" not in key

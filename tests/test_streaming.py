@@ -203,6 +203,88 @@ def test_protect_stream_stateful_replays_stored_result(spark, tmp_path):
     assert fresh.result.isna().all()
 
 
+def test_protect_stream_stateful_ttl_rerun_and_state_drop(spark, tmp_path):
+    """TTL graft (DynamoDB table TTL example.tf:32-35; re-run test
+    DeduplicationSuite.scala:183-200): a duplicate arriving AFTER ttl_s gets
+    decision 'new' (the effect re-runs), and the state row of an expired,
+    never-revisited key is physically dropped once the watermark passes its
+    expiry — the state store stays bounded by live keys."""
+    import datetime as dt
+
+    from dedup.streaming import protect_stream_stateful
+
+    base = dt.datetime(2024, 1, 1, 12, 0, 0)
+    cols = ["event_id", "event_type", "ts", "is_completion", "payload"]
+    b0 = pd.DataFrame(
+        [
+            (1, "click", base, False, None),                           # new
+            (1, "click", base + dt.timedelta(seconds=5), True, "A"),   # done
+            (3, "click", base, False, None),  # claim, then silence forever
+        ],
+        columns=cols,
+    )
+    b1 = pd.DataFrame(
+        [
+            # within ttl (expires t0+65): stored-result replay
+            (1, "click", base + dt.timedelta(seconds=30), False, None),
+            # watermark pusher: advances event time far past every expiry
+            (2, "click", base + dt.timedelta(seconds=500), False, None),
+        ],
+        columns=cols,
+    )
+    b2 = pd.DataFrame(
+        [
+            # ttl elapsed since key 1's completion: looks ABSENT -> re-run
+            (1, "click", base + dt.timedelta(seconds=600), False, None),
+        ],
+        columns=cols,
+    )
+    d = tmp_path / "ttl_in"
+    d.mkdir()
+    for i, b in enumerate([b0, b1, b2]):
+        b["ts"] = b["ts"].astype("datetime64[us]")
+        b["payload"] = b["payload"].astype("string")
+        b.to_parquet(d / f"b{i}.parquet", index=False)
+
+    src = (
+        spark.readStream.schema(
+            "event_id long, event_type string, ts timestamp,"
+            " is_completion boolean, payload string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        protect_stream_stateful(
+            src, max_processing_time_s=1000.0, result_col="payload",
+            ttl_s=60.0, watermark="0 seconds",
+        )
+        .writeStream.format("memory")
+        .queryName("ttl_out")
+        .outputMode("append")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        out = spark.sql(
+            "SELECT id, ts, decision, result FROM ttl_out ORDER BY id, ts"
+        ).toPandas()
+        progress = [p for p in q.recentProgress if p.get("stateOperators")]
+    finally:
+        q.stop()
+    k1 = out[out.id == 1]
+    assert list(k1.decision) == ["new", "completed", "duplicate", "new"]
+    assert k1.result.iloc[2] == "A"        # in-ttl duplicate: replay
+    assert k1.result.isna().iloc[3]        # post-ttl arrival: re-run, no replay
+    # keys 3 (claimed at t0, silent forever) and 2 (claimed t0+500) both have
+    # expiries behind the final watermark (t0+600): the event-time timeout
+    # sweep — including the trailing no-data batch — must drop BOTH, leaving
+    # only key 1's fresh re-claim (expires t0+660) in the store. NoTimeout
+    # (the r4 behavior) would report 3 here.
+    assert progress, "no state-operator progress recorded"
+    assert progress[-1]["stateOperators"][0]["numRowsTotal"] == 1
+
+
 def test_duplicate_counts_stream(spark, stream_dir):
     src = spark.readStream.schema(SCHEMA).parquet(stream_dir)
     q = (
