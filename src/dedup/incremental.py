@@ -319,7 +319,9 @@ def ingest_batch(
 
         # -- 4. signatures for new reps only (one fused UDF pass computes both
         # channels — content crosses Arrow once; bit-identical outputs) ---------
-        joint_new = _p(stage_minhash.joint_signatures(reps_new, config))
+        joint_new = _p(
+            stage_minhash.joint_signatures(reps_new, config, with_fp=True)
+        )
         sigs_new = joint_new.select("doc_id", "sig")
         bands_new = _p(stage_minhash.band_rows(joint_new))
         sims_new = joint_new.select("doc_id", "simhash", "blocks")
@@ -413,8 +415,10 @@ def ingest_batch(
         # fingerprints are persisted alongside the other indexes so each ingest
         # fingerprints ONLY its new reps (ADVICE r2: the fps=None default ran
         # the pandas UDF over the whole corpus per batch); a pre-fingerprint
-        # store is backfilled once, then the table grows by appends
-        fps_new = _p(stage_verify.doc_fingerprints(reps_new, config))
+        # store is backfilled once, then the table grows by appends. The new
+        # reps' fingerprints ride the fused signature pass (with_fp=True):
+        # no second content scan of the batch.
+        fps_new = joint_new.select("doc_id", "fp", "nlen")
         if store.exists("fingerprints"):
             fps_all = store.read(spark, "fingerprints").unionByName(fps_new)
             fp_stage = ("append", fps_new)

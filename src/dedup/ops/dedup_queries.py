@@ -89,15 +89,18 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full near-dup flow on documents, composed as pure DataFrame ops
     (no checkpoint store — the store-backed path is jobs/run_pipeline.py)."""
     reps = _docs_as_reps(spark, sf_dir)
-    # fused signature pass: both channels from ONE content scan/Arrow hop
-    sigs = SM.joint_signatures(reps, DOC_CFG).persist()
+    # fused signature pass: both channels + verify fingerprints from ONE
+    # content scan/Arrow hop
+    sigs = SM.joint_signatures(reps, DOC_CFG, with_fp=True).persist()
     e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
     e_sim = SS.candidate_pairs(
         sigs.select("doc_id", "simhash", "blocks"), DOC_CFG
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
     verified = SV.verify_edges(
-        SV.prepare_pairs(edges, reps, sigs, DOC_CFG), DOC_CFG
+        SV.prepare_pairs(edges, reps, sigs, DOC_CFG,
+                         fps=sigs.select("doc_id", "fp", "nlen")),
+        DOC_CFG,
     ).where("accepted")
     labels, _ = SC.connected_components(verified)
     docs = reps.select("doc_id")

@@ -63,17 +63,19 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
     hashed = stage_exact.hash_content(files)
     reps = stage_exact.representatives(hashed).persist()
     exact_cl = stage_exact.exact_clusters(hashed)
-    # one fused UDF pass computes both signature channels (content crosses
-    # Arrow once, shingle hashing shared) — bit-identical to the separate
-    # minhash/simhash stages of the checkpointed Pipeline
-    sigs = stage_minhash.joint_signatures(reps, config).persist()
+    # one fused UDF pass computes both signature channels AND the verify
+    # stage's LCS fingerprints (content crosses Arrow once, shingle hashing
+    # + normalization shared) — bit-identical to the separate
+    # minhash/simhash/fingerprint stages of the checkpointed Pipeline
+    sigs = stage_minhash.joint_signatures(reps, config, with_fp=True).persist()
     e_lsh = stage_minhash.candidate_pairs(stage_minhash.band_rows(sigs), config)
     e_sim = stage_simhash.candidate_pairs(
         sigs.select("doc_id", "simhash", "blocks"), config
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
     verified = stage_verify.verify_edges(
-        stage_verify.prepare_pairs(edges, reps, sigs, config),
+        stage_verify.prepare_pairs(edges, reps, sigs, config,
+                                   fps=sigs.select("doc_id", "fp", "nlen")),
         config,
         num_partitions=config.shuffle_partitions,
     ).where("accepted").persist()

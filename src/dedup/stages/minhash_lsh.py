@@ -87,49 +87,80 @@ def signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
     )
 
 
-def joint_signatures(reps: DataFrame, config: DedupConfig) -> DataFrame:
-    """(doc_id, sig, bands, simhash, blocks) — BOTH signature channels in a
-    single pandas-UDF pass (kernels.minhash_simhash_batch): content crosses
-    Arrow once and the shared shingle hashing runs once, bit-identical to
-    running signatures() and simhash.simhashes() separately.
+def joint_signatures(
+    reps: DataFrame, config: DedupConfig, with_fp: bool = False
+) -> DataFrame:
+    """(doc_id, sig, bands, simhash, blocks[, fp, nlen]) — BOTH signature
+    channels in a single pandas-UDF pass (kernels.minhash_simhash_batch):
+    content crosses Arrow once and the shared shingle hashing runs once,
+    bit-identical to running signatures() and simhash.simhashes()
+    separately.
+
+    `with_fp=True` additionally folds the verify stage's content-defined
+    LCS fingerprints (verify.doc_fingerprints) into the SAME pass: the
+    normalization and the Arrow content hop are shared, so the one-shot
+    composition paths read the corpus ONCE where they previously read it
+    twice (a full extra corpus scan at 100 TB). Outputs are bit-identical
+    to doc_fingerprints — pinned by test.
 
     Used by the one-shot composition paths (bench pipeline, incremental
-    ingest, query channels); the resumable Pipeline keeps minhash_lsh and
-    simhash as separate checkpointed stages for per-stage resume
-    granularity, at the cost of the second content pass."""
+    ingest, query channels); the resumable Pipeline keeps minhash_lsh,
+    simhash and fingerprints as separate checkpointed stages for per-stage
+    resume granularity, at the cost of the extra content passes."""
     k = config.shingle_k
     bands, rows = config.bands, config.rows_per_band
     norm = config.normalize
     n_blocks = config.hamming_radius + 1
     a, b = K.make_minhash_coeffs(config.num_perm, config.seed)
+    width = config.lcs_min_chars
+    budget = config.fp_budget
+    min_rate = config.fp_min_rate
 
-    @F.pandas_udf(T.StructType([
+    fields = [
         T.StructField("sig", T.ArrayType(T.LongType())),
         T.StructField("bands", T.ArrayType(T.LongType())),
         T.StructField("simhash", T.LongType()),
         T.StructField("blocks", T.ArrayType(T.LongType())),
-    ]))
+    ]
+    if with_fp:
+        fields += [
+            T.StructField("fp", T.ArrayType(T.LongType())),
+            T.StructField("nlen", T.IntegerType()),
+        ]
+
+    @F.pandas_udf(T.StructType(fields))
     def joint_udf(texts: pd.Series) -> pd.DataFrame:
-        sigs, sims = K.minhash_simhash_batch(
-            texts.tolist(), k, a, b, normalize=norm
+        ts = (
+            [K.normalize_text(t) for t in texts] if norm else texts.tolist()
         )
+        sigs, sims = K.minhash_simhash_batch(ts, k, a, b, normalize=False)
         bh = K.band_hashes(sigs, bands, rows)
         blocks = K.hamming_blocks(sims, n_blocks)
-        return pd.DataFrame({
+        out = {
             "sig": list(sigs.view(np.int64)),
             "bands": list(bh),
             "simhash": sims,
             "blocks": list(blocks),
-        })
+        }
+        if with_fp:
+            fps, nlens = [], []
+            for t in ts:  # mirrors verify.doc_fingerprints exactly
+                h = K.run_hashes(t, width)
+                p = max(min_rate, (len(t) + budget - 1) // budget)
+                thr = np.uint64(2**64 // p)
+                fps.append(np.unique(h[h < thr]).view(np.int64).tolist())
+                nlens.append(len(t))
+            out["fp"] = fps
+            out["nlen"] = nlens
+        return pd.DataFrame(out)
 
+    cols = ["sig", "bands", "simhash", "blocks"] + (
+        ["fp", "nlen"] if with_fp else []
+    )
     reps = ensure_parallelism(drop_empty_normalized(reps),
                               config.shuffle_partitions)
     return reps.select("doc_id", joint_udf("content").alias("s")).select(
-        "doc_id",
-        F.col("s.sig").alias("sig"),
-        F.col("s.bands").alias("bands"),
-        F.col("s.simhash").alias("simhash"),
-        F.col("s.blocks").alias("blocks"),
+        "doc_id", *[F.col(f"s.{c}").alias(c) for c in cols]
     )
 
 

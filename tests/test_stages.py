@@ -402,3 +402,36 @@ def test_cc_mega_star_and_broom_skew(spark):
     got = labels.agg(F.count_distinct("cluster_id").alias("n"),
                      F.min("cluster_id").alias("mn")).collect()[0]
     assert (got["n"], got["mn"]) == (1, 0)
+
+
+def test_joint_signatures_with_fp_bit_identical(spark):
+    """joint_signatures(with_fp=True) is a physical fusion only: every
+    signature column equals the with_fp=False pass, and (fp, nlen) equal
+    verify.doc_fingerprints row-for-row — the fused pass must never drift
+    from the canonical per-stage outputs it replaces (it exists purely so
+    the one-shot paths read the corpus ONCE instead of twice)."""
+    cfg = DedupConfig(shuffle_partitions=4)
+    c = generate_corpus(120, seed=31)
+    files = spark.createDataFrame(c.files)
+    reps = SE.representatives(SE.hash_content(files))
+
+    base = {r["doc_id"]: r for r in SM.joint_signatures(reps, cfg).collect()}
+    fused = {
+        r["doc_id"]: r
+        for r in SM.joint_signatures(reps, cfg, with_fp=True).collect()
+    }
+    assert set(base) == set(fused)
+    for did, b in base.items():
+        f = fused[did]
+        assert (b["sig"], b["bands"], b["simhash"], b["blocks"]) == (
+            f["sig"], f["bands"], f["simhash"], f["blocks"]
+        ), did
+
+    fps = {
+        r["doc_id"]: r for r in SV.doc_fingerprints(reps, cfg).collect()
+        if r["nlen"] > 0  # fused pass runs after drop_empty_normalized
+    }
+    assert set(fps) == set(fused)
+    for did, p in fps.items():
+        f = fused[did]
+        assert (p["fp"], p["nlen"]) == (f["fp"], f["nlen"]), did
