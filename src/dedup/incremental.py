@@ -327,7 +327,9 @@ def ingest_batch(
         sims_new = joint_new.select("doc_id", "simhash", "blocks")
 
         # -- 5. candidates: new-new (capped) + new-old (guarded index probe) ----
-        nn_lsh = stage_minhash.candidate_pairs(bands_new, config)
+        # dedup=False: step 5's four channels union into ONE global
+        # (src, dst) dropDuplicates below (see pairs_from_buckets)
+        nn_lsh = stage_minhash.candidate_pairs(bands_new, config, dedup=False)
 
         # partition-pruned read: only pbuckets the batch touches reach the scan
         bands_new_pb = _p(stage_minhash.with_pbucket(bands_new))
@@ -355,7 +357,7 @@ def ingest_batch(
         )
         no_lsh = probe_band_index(bands_new_pb, bands_old, band_stats_old, config)
 
-        nn_sim = stage_simhash.candidate_pairs(sims_new, config)
+        nn_sim = stage_simhash.candidate_pairs(sims_new, config, dedup=False)
 
         # partition-pruned read, mirroring the bands probe above: only the
         # sbuckets the batch touches reach the sim_blocks scan (the round-2

@@ -92,9 +92,10 @@ def neardup_clusters_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     # fused signature pass: both channels + verify fingerprints from ONE
     # content scan/Arrow hop
     sigs = SM.joint_signatures(reps, DOC_CFG, with_fp=True).persist()
-    e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG)
+    # per-channel dedup deferred to the union's single (src, dst) pass
+    e_lsh = SM.candidate_pairs(SM.band_rows(sigs), DOC_CFG, dedup=False)
     e_sim = SS.candidate_pairs(
-        sigs.select("doc_id", "simhash", "blocks"), DOC_CFG
+        sigs.select("doc_id", "simhash", "blocks"), DOC_CFG, dedup=False
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
     verified = SV.verify_edges(

@@ -68,9 +68,13 @@ def run_dataframe_pipeline(files: DataFrame, config: DedupConfig) -> DataFrame:
     # + normalization shared) — bit-identical to the separate
     # minhash/simhash/fingerprint stages of the checkpointed Pipeline
     sigs = stage_minhash.joint_signatures(reps, config, with_fp=True).persist()
-    e_lsh = stage_minhash.candidate_pairs(stage_minhash.band_rows(sigs), config)
+    # per-channel dedup deferred: the union's single dropDuplicates is the
+    # only (src, dst) shuffle the candidate set pays (see pairs_from_buckets)
+    e_lsh = stage_minhash.candidate_pairs(
+        stage_minhash.band_rows(sigs), config, dedup=False
+    )
     e_sim = stage_simhash.candidate_pairs(
-        sigs.select("doc_id", "simhash", "blocks"), config
+        sigs.select("doc_id", "simhash", "blocks"), config, dedup=False
     )
     edges = e_lsh.unionByName(e_sim).dropDuplicates(["src", "dst"])
     verified = stage_verify.verify_edges(

@@ -200,6 +200,7 @@ def pairs_from_buckets(
     key_cols: list[str],
     config: DedupConfig,
     payload_col: str | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate edges (src < dst) from equi-key buckets, skew-capped.
 
@@ -219,6 +220,17 @@ def pairs_from_buckets(
        million-member boilerplate bucket streams through without memory risk.
 
     Output: (src, dst, payload_src, payload_dst); payload defaults to 0L.
+
+    `dedup=False` skips the per-channel `dropDuplicates` shuffle: a pair
+    found in several buckets (or several bands) is emitted once per hit.
+    Composition paths that union multiple channels and then dedup ONCE on
+    (src, dst) should pass False — the global dedup subsumes the
+    per-channel one, and because map-side combine cannot collapse
+    duplicates produced in different bucket partitions anyway, a single
+    global pass shuffles strictly fewer pair rows than per-channel dedup
+    followed by a second dedup of the union. Duplicate rows for one
+    (src, dst) are exact duplicates (payloads are functions of the doc,
+    not the bucket), so downstream per-pair predicates stay deterministic.
     """
     payload = F.col(payload_col) if payload_col else F.lit(0).cast("long")
     rows = rows.select(
@@ -261,11 +273,14 @@ def pairs_from_buckets(
             F.col("m.p").alias("payload_dst"),
         )
     )
-    return small_pairs.unionByName(big_pairs).dropDuplicates(["src", "dst"])
+    pairs = small_pairs.unionByName(big_pairs)
+    return pairs.dropDuplicates(["src", "dst"]) if dedup else pairs
 
 
-def candidate_pairs(bands_df: DataFrame, config: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    bands_df: DataFrame, config: DedupConfig, dedup: bool = True
+) -> DataFrame:
     """LSH candidate edges (src < dst), skew-capped (see pairs_from_buckets)."""
     return pairs_from_buckets(
-        bands_df, ["band_id", "band_hash"], config
+        bands_df, ["band_id", "band_hash"], config, dedup=dedup
     ).select("src", "dst")

@@ -83,18 +83,23 @@ def block_stats(simhash_df: DataFrame) -> DataFrame:
     )
 
 
-def candidate_pairs(simhash_df: DataFrame, config: DedupConfig) -> DataFrame:
+def candidate_pairs(
+    simhash_df: DataFrame, config: DedupConfig, dedup: bool = True
+) -> DataFrame:
     """Candidate edges (src < dst) within the Hamming ball, skew-capped.
 
     Bucket-pair generation is shared with the LSH channel
     (minhash_lsh.pairs_from_buckets); the simhash value rides along as the
     bucket payload so the JVM popcount filter needs no extra join.
+    `dedup=False` defers (src, dst) dedup to a union composition's single
+    global pass (see pairs_from_buckets) — the popcount filter is a pure
+    function of the pair, so applying it to duplicate rows is harmless.
     """
     from .minhash_lsh import pairs_from_buckets
 
     pairs = pairs_from_buckets(
         block_rows(simhash_df), ["block_id", "block_val"], config,
-        payload_col="simhash",
+        payload_col="simhash", dedup=dedup,
     )
     return (
         pairs.where(

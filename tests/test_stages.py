@@ -162,6 +162,40 @@ def test_pairs_from_buckets_matches_oracle(spark):
     assert got == expect
 
 
+def test_deferred_dedup_edge_set_identical(spark, reps):
+    """dedup=False per channel + ONE global dropDuplicates (what the union
+    composition paths run) must yield exactly the default per-channel edge
+    set — the duplicate rows differ, the (src, dst) set must not."""
+    sigs = SM.joint_signatures(reps, CFG).persist()
+    try:
+        e_lsh = SM.candidate_pairs(SM.band_rows(sigs), CFG)
+        e_sim = SS.candidate_pairs(
+            sigs.select("doc_id", "simhash", "blocks"), CFG
+        )
+        baseline = {
+            (r["src"], r["dst"])
+            for r in e_lsh.unionByName(e_sim)
+            .dropDuplicates(["src", "dst"]).collect()
+        }
+        raw = SM.candidate_pairs(
+            SM.band_rows(sigs), CFG, dedup=False
+        ).unionByName(
+            SS.candidate_pairs(
+                sigs.select("doc_id", "simhash", "blocks"), CFG, dedup=False
+            )
+        )
+        deferred = {
+            (r["src"], r["dst"])
+            for r in raw.dropDuplicates(["src", "dst"]).collect()
+        }
+        assert deferred == baseline
+        # the raw stream must actually carry multi-band/multi-block
+        # duplicates, or the deferral isn't exercising anything
+        assert raw.count() > len(deferred)
+    finally:
+        sigs.unpersist()
+
+
 def test_mega_bucket_star_capped(spark, reps):
     """Boilerplate family must produce linear (not quadratic) edges."""
     cfg = DedupConfig(bucket_cap=8, shuffle_partitions=8)
