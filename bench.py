@@ -158,6 +158,7 @@ def main() -> int:
         "ngram_jaccard_pairs",
         "embedding_topk_cosine",
         "embedding_ann_lsh",
+        "embedding_ann_ivf",
         "neardup_clusters_documents",
     ]
     # one UNTIMED warmup pass in this fresh JVM (JIT/codegen/scan caches):

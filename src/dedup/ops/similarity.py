@@ -8,6 +8,10 @@
   into both the Spark expressions and the DuckDB oracle, and the projections
   are sequential float64 folds on both engines, so the bucketing — and hence
   the whole ANN query — is value-hash oracled, not rows-only;
+- IVF ANN (inverted file, deterministically sampled coarse quantizer): the
+  data-adaptive alternative — rows assigned to their nearest centroid cell
+  (broadcast centroids, map-side-combined argmax, O(N) shuffle), queries
+  search their _IVF_NPROBE nearest cells only;
 - embedding near-dup clustering: LSH candidates -> skew-capped pair
   generator -> exact cosine >= tau -> connected components. The edge set
   (everything up to CC) is exposed as its own fully-oracled query
@@ -395,6 +399,164 @@ SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
 """
 
 
+# ------------------------------------------------------------------- IVF
+
+# IVF coarse quantizer: every row whose vec_id % _IVF_CENTROID_MOD == 0 is a
+# centroid (deterministic sampling — the standard k-means INIT, used directly
+# as the quantizer so centroid coordinates are exact data values both engines
+# read identically; Lloyd refinement would average floats across partitions,
+# whose sum order Spark does not fix, breaking the value-hash oracle).
+# Expected cell occupancy == the stride, independent of corpus size.
+_IVF_CENTROID_MOD = 61
+_IVF_NPROBE = 2       # query probes its nprobe nearest cells
+_IVF_CELL_CAP = 4096  # belt-and-braces cap on the index side per cell
+_IVF_MAX_CELLS = 1 << 17  # centroid set stays broadcastable (~64 MB at dim 64)
+
+
+def ivf_centroid_mod(corpus_size: int) -> int:
+    """Production stride sizing: K = corpus/stride centroids must stay
+    broadcastable, so past _IVF_MAX_CELLS cells the stride grows with the
+    corpus. At every driver tier this returns the oracled literal stride."""
+    import math
+
+    if corpus_size <= _IVF_CENTROID_MOD * _IVF_MAX_CELLS:
+        return _IVF_CENTROID_MOD
+    return math.ceil(corpus_size / _IVF_MAX_CELLS)
+
+
+def _ivf_topk(emb: DataFrame, mod: int = _IVF_CENTROID_MOD) -> DataFrame:
+    """IVF ANN core: broadcast the centroid set, assign each row to its
+    nearest centroid (cell), search only the query's _IVF_NPROBE nearest
+    cells. See embedding_ann_ivf for the scale analysis."""
+    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = (
+        emb.select("vec_id", vec.alias("v"))
+        .withColumn("nv", _norm_col(F.col("v")))
+        .persist()
+    )
+    cents = base.where(F.col("vec_id") % mod == 0).select(
+        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
+        F.col("nv").alias("nc"),
+    )
+    # assignment: N x K rounded cosines against the BROADCAST centroids,
+    # collapsed to one (vec_id, cell) row by a map-side-combining max over
+    # struct(csim, -c_id) — the shuffle moves O(N) rows, never N x K, and
+    # the struct order realizes "highest csim, ties to lowest c_id"
+    scored = base.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "c_id",
+        _sim4(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")).alias("csim"),
+    )
+    best = scored.groupBy("vec_id").agg(
+        F.max(F.struct(F.col("csim"), (-F.col("c_id")).alias("ncid"))).alias("s")
+    )
+    wc = Window.partitionBy("cell").orderBy(F.asc("vec_id"))
+    idx = (
+        base.join(best.select("vec_id", (-F.col("s.ncid")).alias("cell")),
+                  "vec_id")
+        .withColumn("crk", F.row_number().over(wc))
+        .where(F.col("crk") <= _IVF_CELL_CAP)
+        .drop("crk")
+    )
+    # queries re-rank the centroids (nq x K, nq = N/_QUERY_MOD) and probe
+    # their _IVF_NPROBE nearest cells
+    wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("c_id"))
+    qprobe = (
+        base.where(F.col("vec_id") % _QUERY_MOD == 0)
+        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
+                F.col("nv").alias("nq"))
+        .crossJoin(F.broadcast(cents))
+        .withColumn(
+            "csim",
+            _sim4(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")),
+        )
+        .withColumn("crk", F.row_number().over(wq))
+        .where(F.col("crk") <= _IVF_NPROBE)
+        .select("q_id", "qv", "nq", F.col("c_id").alias("cell"))
+    )
+    # a row lives in exactly ONE cell, so (q_id, vec_id) cannot repeat
+    # across probes — no distinct needed (unlike the multi-probe LSH path)
+    cand = idx.join(qprobe, "cell").where(F.col("vec_id") != F.col("q_id"))
+    scored2 = cand.select(
+        "q_id", "vec_id",
+        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored2.withColumn("rk", F.row_number().over(w))
+        .where(F.col("rk") <= _TOPK)
+        .select("q_id", "vec_id", "sim", "rk")
+    )
+
+
+def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (inverted-file) ANN: the second scale path next to the
+    hyperplane-LSH variant, trading LSH's data-oblivious buckets for
+    data-adaptive cells — on clustered embeddings the nearest-cell probe
+    concentrates true neighbors far better than random-plane signs.
+
+    Plan shape at scale: centroids BROADCAST (stride sizing keeps K <=
+    _IVF_MAX_CELLS); the N x K assignment never shuffles — a map-side-
+    combining aggregate reduces it to one row per vector before the
+    exchange; the probe join is an equi-join on cell with the index side
+    capped per cell. Honest ceiling: with the stride widening past
+    _IVF_MAX_CELLS cells, cell occupancy grows with N, so past ~10^9
+    vectors (2^17 cells x ~8k rows) a second quantizer level inside cells
+    (or LSH pre-filtering of cells) is needed; the hyperplane-LSH path
+    remains the 10^12-scale channel. Fully value-hash oracled: centroids
+    are exact data rows, all ranking on 4-decimal rounded cosines with
+    vec_id tie-breaks."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return _ivf_topk(emb, mod=ivf_centroid_mod(_corpus_count(sf_dir, emb)))
+
+
+EMBEDDING_IVF_SQL = f"""
+WITH base0 AS (
+  SELECT vec_id, list_transform(embedding, x -> cast(x AS double)) AS v
+  FROM embeddings
+),
+base AS (
+  SELECT vec_id, v, {_NORM_SQL.format(a='v')} AS nv FROM base0
+),
+cents AS (
+  SELECT vec_id AS c_id, v AS cv, nv AS nc
+  FROM base WHERE vec_id % {_IVF_CENTROID_MOD} = 0
+),
+ascored AS (
+  SELECT b.vec_id, b.v, b.nv, c.c_id,
+         {_sim4_sql('b.v', 'c.cv', 'b.nv', 'c.nc')} AS csim
+  FROM base b CROSS JOIN cents c
+),
+assigned AS (
+  SELECT vec_id, v, nv, c_id,
+         row_number() OVER (
+           PARTITION BY vec_id ORDER BY csim DESC, c_id ASC) AS crk
+  FROM ascored
+),
+idx AS (
+  SELECT vec_id, v, nv, c_id AS cell FROM assigned WHERE crk = 1
+  QUALIFY row_number() OVER (PARTITION BY cell ORDER BY vec_id)
+          <= {_IVF_CELL_CAP}
+),
+qprobe AS (
+  SELECT vec_id AS q_id, v AS qv, nv AS nq, c_id AS cell
+  FROM assigned
+  WHERE vec_id % {_QUERY_MOD} = 0 AND crk <= {_IVF_NPROBE}
+),
+scored AS (
+  SELECT q.q_id, i.vec_id, {_sim4_sql('q.qv', 'i.v', 'q.nq', 'i.nv')} AS sim
+  FROM idx i JOIN qprobe q USING (cell)
+  WHERE i.vec_id != q.q_id
+),
+ranked AS (
+  SELECT q_id, vec_id, sim,
+         row_number() OVER (
+           PARTITION BY q_id ORDER BY sim DESC, vec_id ASC) AS rk
+  FROM scored
+)
+SELECT q_id, vec_id, sim, rk FROM ranked WHERE rk <= {_TOPK}
+"""
+
+
 # ------------------------------------------------- near-dup edges/clusters
 
 # tau / bucket_cap interpolated from the SAME constants the Spark path uses
@@ -588,6 +750,7 @@ def embedding_neardup_clusters_t40(
 QUERIES = {
     "embedding_topk_cosine": (embedding_topk_cosine, EMBEDDING_TOPK_SQL),
     "embedding_ann_lsh": (embedding_ann_lsh, EMBEDDING_ANN_SQL),
+    "embedding_ann_ivf": (embedding_ann_ivf, EMBEDDING_IVF_SQL),
     "embedding_neardup_edges": (
         embedding_neardup_edges, EMBEDDING_NEARDUP_EDGES_SQL,
     ),

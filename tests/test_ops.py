@@ -182,6 +182,45 @@ def test_ann_widened_planes_keep_recall(spark, tmp_path):
         assert recall >= 0.9, f"n_planes={n_planes}: recall {recall:.3f}"
 
 
+def test_ivf_recall_vs_bruteforce(spark, tmp_path):
+    """The IVF path must recover the exact top-5 on clustered data: members
+    of a tight cluster share a nearest centroid, so the nprobe=2 cell probe
+    sees (nearly) every true neighbor — the data-adaptive counterpart of the
+    LSH recall gate, and it should clear a HIGHER bar than LSH's 0.7."""
+    d = _planted_cluster_corpus(tmp_path)
+    from dedup.ops.similarity import embedding_ann_ivf, embedding_topk_cosine
+
+    exact = {
+        (r["q_id"], r["vec_id"])
+        for r in embedding_topk_cosine(spark, d).collect()
+    }
+    assert exact
+    got = {
+        (r["q_id"], r["vec_id"])
+        for r in embedding_ann_ivf(spark, d).collect()
+    }
+    recall = len(exact & got) / len(exact)
+    assert recall >= 0.9, f"IVF recall too low: {recall:.3f}"
+
+
+def test_ivf_stride_sizing():
+    """Driver tiers keep the oracled literal stride (hash-gate safety); past
+    _IVF_MAX_CELLS centroids the stride grows so the centroid set stays
+    broadcastable."""
+    import math
+
+    from dedup.ops.similarity import (
+        _IVF_CENTROID_MOD, _IVF_MAX_CELLS, ivf_centroid_mod,
+    )
+
+    for n in (500, 10_000, 1_000_000, _IVF_CENTROID_MOD * _IVF_MAX_CELLS):
+        assert ivf_centroid_mod(n) == _IVF_CENTROID_MOD
+    big = 10**12
+    mod = ivf_centroid_mod(big)
+    assert mod == math.ceil(big / _IVF_MAX_CELLS)
+    assert math.ceil(big / mod) <= _IVF_MAX_CELLS
+
+
 def test_ann_derives_plane_count_from_corpus(spark, tmp_path):
     """The query path calls ann_n_planes(count): at driver-tier sizes the
     derivation returns the oracled 8, so _ann_topk(emb) must be row-identical
