@@ -96,3 +96,18 @@ def test_zscore_grouped_map_is_salted_not_whole_language(spark):
     gm = plan[plan.index("FlatMapGroupsInPandas"):].splitlines()[0]
     key = gm.split("]", 1)[0]  # 'FlatMapGroupsInPandas [<grouping keys>'
     assert "_g" in key and "lang" not in key
+
+def test_ivf_assignment_is_broadcast_and_map_side_combined(spark):
+    """The IVF docstring's scale claims, pinned at plan level: centroids
+    reach the N x K scoring through a BROADCAST nested-loop (never a
+    CartesianProduct shuffle), and the per-vector argmax assignment runs a
+    partial (map-side) max so the exchange moves one row per vector, never
+    the N x K score matrix; the cell probe is a hash-partitioned equi-join."""
+    from dedup.ops.similarity import embedding_ann_ivf
+
+    plan = _plan(embedding_ann_ivf(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "partial_max" in plan
+    assert "hashpartitioning(vec_id" in plan
+    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
