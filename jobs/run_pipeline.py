@@ -32,6 +32,13 @@ def main() -> int:
     src.add_argument("--ingest", metavar="PARQUET",
                      help="incrementally cluster a NEW batch (parquet, same "
                           "columns) against an existing --work-dir index")
+    src.add_argument("--build-emb-index", metavar="PARQUET",
+                     help="build the persistent IVF embedding index + "
+                          "initial near-dup clusters from a base corpus "
+                          "(parquet with columns vec_id, embedding)")
+    src.add_argument("--ingest-emb", metavar="PARQUET",
+                     help="incrementally cluster a NEW embedding batch "
+                          "against an existing --work-dir index")
     ap.add_argument("--work-dir", required=True,
                     help="checkpoint/output root (ledger + snapshot tables)")
     ap.add_argument("--format", dest="fmt", default=None,
@@ -43,6 +50,8 @@ def main() -> int:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--no-resume", action="store_true",
                     help="recompute every stage even if committed")
+    ap.add_argument("--tau", type=float, default=0.90,
+                    help="cosine threshold for the embedding channel")
     args = ap.parse_args()
 
     # --py-files puts the zip on sys.path for the driver too, but allow
@@ -62,6 +71,40 @@ def main() -> int:
 
     spark = build_session("dedup-pipeline", master=args.master, config=config)
     t0 = time.time()
+    if args.build_emb_index or args.ingest_emb:
+        from dedup.incremental_ann import (
+            build_embedding_index, ingest_embeddings,
+        )
+        from dedup.ledger import Ledger
+        from dedup.storage import TableStore
+
+        work = Path(args.work_dir)
+        store = TableStore(work / "tables")
+        if args.build_emb_index:
+            emb = spark.read.parquet(args.build_emb_index)
+            clusters = build_embedding_index(
+                spark, config, store, emb, args.tau
+            )
+            mode = "build_emb_index"
+            n_batch = emb.count()
+        else:
+            ledger = Ledger(work / "ledger")
+            batch = spark.read.parquet(args.ingest_emb)
+            n_batch = batch.count()
+            clusters = ingest_embeddings(
+                spark, config, store, ledger, batch, args.tau
+            )
+            mode = "ingest_emb"
+        print(json.dumps({
+            "mode": mode,
+            "batch_vectors": n_batch,
+            "vectors_total": clusters.count(),
+            "clusters": clusters.select("cluster_id").distinct().count(),
+            "wall_s": round(time.time() - t0, 2),
+            "work_dir": str(args.work_dir),
+        }))
+        spark.stop()
+        return 0
     if args.ingest:
         pipe = Pipeline(spark, config, args.work_dir)
         from dedup.sources import load_corpus

@@ -424,24 +424,35 @@ def ivf_centroid_mod(corpus_size: int) -> int:
     return math.ceil(corpus_size / _IVF_MAX_CELLS)
 
 
-def _ivf_topk(emb: DataFrame, mod: int = _IVF_CENTROID_MOD) -> DataFrame:
-    """IVF ANN core: broadcast the centroid set, assign each row to its
-    nearest centroid (cell), search only the query's _IVF_NPROBE nearest
-    cells. See embedding_ann_ivf for the scale analysis."""
+def prep_vectors(emb: DataFrame) -> DataFrame:
+    """(vec_id, v: array<double>, nv): the shared vector projection every
+    similarity path starts from (float->double cast + precomputed norm)."""
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = (
+    return (
         emb.select("vec_id", vec.alias("v"))
         .withColumn("nv", _norm_col(F.col("v")))
-        .persist()
     )
-    cents = base.where(F.col("vec_id") % mod == 0).select(
+
+
+def centroids_of(base: DataFrame, mod: int) -> DataFrame:
+    """Deterministic-stride coarse quantizer: every row with
+    vec_id % mod == 0 is a centroid (exact data values, so assignment is
+    oracle-able on any engine reading the same rows)."""
+    return base.where(F.col("vec_id") % mod == 0).select(
         F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
         F.col("nv").alias("nc"),
     )
-    # assignment: N x K rounded cosines against the BROADCAST centroids,
-    # collapsed to one (vec_id, cell) row by a map-side-combining max over
-    # struct(csim, -c_id) — the shuffle moves O(N) rows, never N x K, and
-    # the struct order realizes "highest csim, ties to lowest c_id"
+
+
+def assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: base columns + `cell`.
+
+    N x K rounded cosines against the BROADCAST centroids, collapsed to one
+    (vec_id, cell) row by a map-side-combining max over struct(csim, -c_id)
+    — the shuffle moves O(N) rows, never N x K, and the struct order
+    realizes "highest csim, ties to lowest c_id". Shared by the one-shot
+    IVF query and the incremental embedding ingest (which assigns each new
+    batch under the index's FROZEN centroid set)."""
     scored = base.crossJoin(F.broadcast(cents)).select(
         "vec_id", "c_id",
         _sim4(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")).alias("csim"),
@@ -449,10 +460,20 @@ def _ivf_topk(emb: DataFrame, mod: int = _IVF_CENTROID_MOD) -> DataFrame:
     best = scored.groupBy("vec_id").agg(
         F.max(F.struct(F.col("csim"), (-F.col("c_id")).alias("ncid"))).alias("s")
     )
+    return base.join(
+        best.select("vec_id", (-F.col("s.ncid")).alias("cell")), "vec_id"
+    )
+
+
+def _ivf_topk(emb: DataFrame, mod: int = _IVF_CENTROID_MOD) -> DataFrame:
+    """IVF ANN core: broadcast the centroid set, assign each row to its
+    nearest centroid (cell), search only the query's _IVF_NPROBE nearest
+    cells. See embedding_ann_ivf for the scale analysis."""
+    base = prep_vectors(emb).persist()
+    cents = centroids_of(base, mod)
     wc = Window.partitionBy("cell").orderBy(F.asc("vec_id"))
     idx = (
-        base.join(best.select("vec_id", (-F.col("s.ncid")).alias("cell")),
-                  "vec_id")
+        assign_cells(base, cents)
         .withColumn("crk", F.row_number().over(wc))
         .where(F.col("crk") <= _IVF_CELL_CAP)
         .drop("crk")
