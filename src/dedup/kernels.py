@@ -39,12 +39,24 @@ def mix64(h: np.ndarray) -> np.ndarray:
     return h
 
 
+_POLY_POWERS_CACHE: dict[int, np.ndarray] = {}
+
+
 def _poly_powers(k: int) -> np.ndarray:
-    """[1, R, R^2, ..., R^(k-1)] in uint64 with natural wraparound."""
-    with _wrap:
-        p = np.ones(k, dtype=np.uint64)
-        if k > 1:
-            p[1:] = np.cumprod(np.full(k - 1, _FNV_PRIME, dtype=np.uint64))
+    """[1, R, R^2, ..., R^(k-1)] in uint64 with natural wraparound.
+
+    Cached per k (callers only read — slices, reversed views, ctypes
+    pointers): the verify worker calls this once per DOC at a fixed small
+    k, and the cumprod + errstate setup was a measured ~30% of
+    char_shingle_hashes' time. The cache also keeps the array alive across
+    the native call (see _window_hashes' use-after-free note)."""
+    p = _POLY_POWERS_CACHE.get(k)
+    if p is None:
+        with _wrap:
+            p = np.ones(k, dtype=np.uint64)
+            if k > 1:
+                p[1:] = np.cumprod(np.full(k - 1, _FNV_PRIME, dtype=np.uint64))
+        _POLY_POWERS_CACHE[k] = p
     return p
 
 
@@ -159,6 +171,54 @@ def run_hashes(text: str, L: int) -> np.ndarray:
         np.cumsum(codes * pw, dtype=np.uint64, out=prefix[1:])
         h = (prefix[L:] - prefix[:m]) * ipw    # sum a_i R^(i-s), i in [s,s+L)
     return mix64(h)
+
+
+class RunHasher:
+    """Memoized per-document state for `run_hashes`: the L-INDEPENDENT work
+    (utf-32 encode, power/inverse-power cumprods, prefix sums — three O(n)
+    passes with allocations) runs ONCE per text; each window length L then
+    costs one vectorized subtract, one multiply, and the mix64 finalizer.
+
+    The verify worker asks one document for MANY lengths — the level
+    screen's grid level, each pair's own threshold for the exact probe, and
+    ~log2(n) binary-search midpoints per accepted pair — so hoisting the
+    shared state is the dominant accept-path saving.
+
+    BIT-IDENTICAL to run_hashes(text, L): same uint64 wraparound arithmetic
+    (the sliced full-length inverse-power cumprod equals run_hashes' local
+    length-m cumprod by the prefix property); pinned by test."""
+
+    __slots__ = ("n", "_prefix", "_ipw")
+
+    def __init__(self, text: str):
+        global _FNV_INV
+        if _FNV_INV is None:
+            _FNV_INV = _inv64(_FNV_PRIME)
+        codes = np.frombuffer(text.encode("utf-32-le"), dtype=np.uint32)
+        n = codes.size
+        self.n = n
+        with _wrap:
+            codes = codes.astype(np.uint64)
+            pw = np.ones(n, dtype=np.uint64)                  # R^i
+            ipw = np.ones(n, dtype=np.uint64)                 # R^-i
+            if n > 1:
+                pw[1:] = np.cumprod(np.full(n - 1, _FNV_PRIME, dtype=np.uint64))
+                ipw[1:] = np.cumprod(np.full(n - 1, _FNV_INV, dtype=np.uint64))
+            prefix = np.zeros(n + 1, dtype=np.uint64)
+            np.cumsum(codes * pw, dtype=np.uint64, out=prefix[1:])
+        self._prefix = prefix
+        self._ipw = ipw
+
+    def hashes(self, L: int) -> np.ndarray:
+        """result[s] = mix64(sum_{i in [s, s+L)} code_i * R^(i-s)) — the
+        exact run_hashes(text, L) array."""
+        n = self.n
+        if L <= 0 or n < L:
+            return np.empty(0, dtype=np.uint64)
+        m = n - L + 1
+        with _wrap:
+            h = (self._prefix[L:] - self._prefix[:m]) * self._ipw[:m]
+        return mix64(h)
 
 
 def has_common_run(a: str, b: str, L: int, max_confirms: int = 32) -> bool:
@@ -496,7 +556,11 @@ def longest_common_substring(a: str, b: str) -> int:
     return int(lcp.max(initial=0))
 
 
-def longest_common_run_from(a: str, b: str, lo: int) -> int:
+def longest_common_run_from(
+    a: str, b: str, lo: int,
+    hasher_a: "RunHasher | None" = None,
+    hasher_b: "RunHasher | None" = None,
+) -> int:
     """EXACT longest-common-substring length, given a known-feasible lower
     bound `lo` (the caller has already confirmed has_common_run(a, b, lo)).
 
@@ -505,11 +569,21 @@ def longest_common_run_from(a: str, b: str, lo: int) -> int:
     O(n log^2 n) suffix-array build on clone-scale docs, with IDENTICAL
     results (the probe is exact, so the search converges to the true max).
     The suffix array stays as the collision fallback inside has_common_run
-    and as the independent oracle in tests."""
+    and as the independent oracle in tests.
+
+    Callers holding RunHasher state for both docs (the verify worker's
+    per-batch memo) pass it so each midpoint probe skips the per-call
+    encode/cumprod/cumsum setup."""
     hi = min(len(a), len(b))
     while lo < hi:
         mid = (lo + hi + 1) // 2
-        if has_common_run(a, b, mid):
+        if hasher_a is not None and hasher_b is not None:
+            found = _confirm_common_run(
+                a, b, mid, hasher_a.hashes(mid), hasher_b.hashes(mid)
+            )
+        else:
+            found = has_common_run(a, b, mid)
+        if found:
             lo = mid
         else:
             hi = mid - 1

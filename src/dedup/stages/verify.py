@@ -211,6 +211,34 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
     report jaccard=-1.0 ("not computed") — downstream consumes accepted
     rows only.
     """
+    _verify = make_verifier(config)
+    df = pairs_with_content
+    if num_partitions:
+        # Hash-repartition on BOTH pair ids + sort within partitions:
+        # - hash on (src, dst) load-balances by pair count — a hot pivot's
+        #   edges spread across partitions instead of pinning one straggler
+        #   task (measured 2->8 scaling of this stage before: 0.44);
+        # - sortWithinPartitions restores the contiguity the per-BATCH memo
+        #   needs (the memo dicts live inside the Arrow-batch loop, so
+        #   same-src runs within a partition are what produce hits; a hot
+        #   doc re-normalizes once per partition it lands in — bounded);
+        # - unlike the previous repartitionByRange, a hash exchange needs
+        #   no range-boundary sampling pass, which re-evaluated the whole
+        #   screens + content-join subtree a second time;
+        # - 8x cores in partition count so the scheduler can balance
+        #   residual per-pair cost skew (content lengths vary 40x).
+        df = df.repartition(num_partitions * 8, "src", "dst") \
+               .sortWithinPartitions("src", "dst")
+    return df.mapInPandas(_verify, _OUT_SCHEMA)
+
+
+def make_verifier(config: DedupConfig):
+    """Build the per-batch verification worker (the mapInPandas callable).
+
+    Module-level factory (rather than a closure inside verify_edges) so the
+    worker is directly callable from tests and profilers without a Spark
+    job; captures only scalars, so Spark serialization is unchanged.
+    """
     k = config.shingle_k
     norm = config.normalize
     floor = config.jaccard_floor
@@ -241,6 +269,7 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
             texts: dict[int, str] = {}
             shingle_sets: dict[int, "np.ndarray"] = {}
             level_hashes: dict[tuple[int, int], "np.ndarray"] = {}
+            hashers: dict[int, "K.RunHasher"] = {}
 
             def text_of(doc_id: int, raw: str) -> str:
                 t = texts.get(doc_id)
@@ -248,6 +277,17 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                     t = K.normalize_text(raw) if norm else raw
                     texts[doc_id] = t
                 return t
+
+            def hasher_of(doc_id: int, text: str) -> "K.RunHasher":
+                # memoized rolling-hash state: encode + prefix/inverse-power
+                # setup once per doc; every window length afterwards (level
+                # grid, pair thresholds, binary-search midpoints) is ~3
+                # vector ops instead of a fresh O(n) setup
+                h = hashers.get(doc_id)
+                if h is None:
+                    h = K.RunHasher(text)
+                    hashers[doc_id] = h
+                return h
 
             def shingles_of(doc_id: int, text: str) -> "np.ndarray":
                 # LAZY: the k-shingle pass costs O(k*n); ~97% of candidate
@@ -263,7 +303,7 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                 key = (doc_id, lvl)
                 h = level_hashes.get(key)
                 if h is None:
-                    h = np.sort(K.run_hashes(text, lvl))
+                    h = np.sort(hasher_of(doc_id, text).hashes(lvl))
                     level_hashes[key] = h
                 return h
 
@@ -305,14 +345,21 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                 pos[pos == hb.size] = hb.size - 1
                 if not (hb[pos] == ha).any():
                     continue
-                # exact probe at the pair's true threshold
-                if not K.has_common_run(ca, cb, threshold):
+                # exact probe at the pair's true threshold (memoized
+                # rolling-hash state; confirm step is collision-proof)
+                h_a = hasher_of(src_ids[i], ca)
+                h_b = hasher_of(dst_ids[i], cb)
+                if not K._confirm_common_run(
+                    ca, cb, threshold,
+                    h_a.hashes(threshold), h_b.hashes(threshold),
+                ):
                     continue
                 # real near-dup: record full evidence. Binary search over
                 # the exact probe (threshold is known feasible) returns the
                 # same max-run length as the suffix array ~5x cheaper —
                 # this was the dominant verify cost once accepts are many.
-                ln = K.longest_common_run_from(ca, cb, threshold)
+                ln = K.longest_common_run_from(ca, cb, threshold,
+                                               hasher_a=h_a, hasher_b=h_b)
                 lcs[i] = ln
                 ok[i] = ln >= threshold
                 if ok[i] and jac[i] < 0.0:
@@ -324,21 +371,4 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
                  "lcs": lcs, "accepted": ok}
             )
 
-    df = pairs_with_content
-    if num_partitions:
-        # Hash-repartition on BOTH pair ids + sort within partitions:
-        # - hash on (src, dst) load-balances by pair count — a hot pivot's
-        #   edges spread across partitions instead of pinning one straggler
-        #   task (measured 2->8 scaling of this stage before: 0.44);
-        # - sortWithinPartitions restores the contiguity the per-BATCH memo
-        #   needs (the memo dicts live inside the Arrow-batch loop, so
-        #   same-src runs within a partition are what produce hits; a hot
-        #   doc re-normalizes once per partition it lands in — bounded);
-        # - unlike the previous repartitionByRange, a hash exchange needs
-        #   no range-boundary sampling pass, which re-evaluated the whole
-        #   screens + content-join subtree a second time;
-        # - 8x cores in partition count so the scheduler can balance
-        #   residual per-pair cost skew (content lengths vary 40x).
-        df = df.repartition(num_partitions * 8, "src", "dst") \
-               .sortWithinPartitions("src", "dst")
-    return df.mapInPandas(_verify, _OUT_SCHEMA)
+    return _verify

@@ -417,3 +417,48 @@ def test_longest_common_run_from_equals_suffix_array():
     # identical strings: full length
     s = "x" * 137
     assert K.longest_common_run_from(s, s, 1) == 137
+
+
+def test_run_hasher_bit_identical_to_run_hashes():
+    """RunHasher.hashes(L) must equal run_hashes(text, L) EXACTLY for every
+    window length — the memoized prefix/inverse-power state is a physical
+    optimization of the same uint64 arithmetic, never a new hash family."""
+    import numpy as np
+
+    rng = random.Random(23)
+    texts = [
+        "",
+        "a",
+        "ab",
+        _rand_text(rng, 50),
+        _rand_text(rng, 500),
+        "x" * 137,                      # degenerate: single repeated char
+        "héllo wörld ünïcode " * 20,    # non-ASCII code points
+    ]
+    for t in texts:
+        h = K.RunHasher(t)
+        n = len(t)
+        for L in {0, 1, 2, 3, 7, n // 2, n - 1, n, n + 1, n + 50}:
+            np.testing.assert_array_equal(
+                h.hashes(L), K.run_hashes(t, L), err_msg=f"n={n} L={L}"
+            )
+
+
+def test_longest_common_run_from_hasher_path_identical():
+    """The hasher-backed binary search must return exactly the plain-path
+    value (same probe, memoized setup)."""
+    rng = random.Random(31)
+    for _ in range(40):
+        a = _rand_text(rng, rng.randrange(20, 300))
+        run = a[len(a) // 4: len(a) // 4 + rng.randrange(5, 40)]
+        b = _rand_text(rng, rng.randrange(10, 200)) + run + _rand_text(
+            rng, rng.randrange(10, 200)
+        )
+        lo = max(1, len(run) // 2)
+        if not K.has_common_run(a, b, lo):
+            continue
+        expect = K.longest_common_run_from(a, b, lo)
+        got = K.longest_common_run_from(
+            a, b, lo, hasher_a=K.RunHasher(a), hasher_b=K.RunHasher(b)
+        )
+        assert got == expect
