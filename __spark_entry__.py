@@ -81,12 +81,12 @@ def _prepare(spark: SparkSession) -> SparkSession:
 def _registry():
     from dedup.ops import (
         dedup_queries, ledger_queries, multimodal, relational, similarity,
-        textops,
+        spans, textops,
     )
 
     merged: dict[str, tuple] = {}
-    for mod in (dedup_queries, textops, similarity, relational, multimodal,
-                ledger_queries):
+    for mod in (dedup_queries, textops, spans, similarity, relational,
+                multimodal, ledger_queries):
         merged.update(mod.QUERIES)
     return merged
 

@@ -63,7 +63,7 @@ def main() -> int:
 
     from dedup.config import DedupConfig
     from dedup.corpus import generate_corpus
-    from dedup.ops import dedup_queries, relational, similarity, textops
+    from dedup.ops import dedup_queries, relational, similarity, spans, textops
     from dedup.pipeline import run_dataframe_pipeline
     from dedup.session import build_session
 
@@ -172,6 +172,7 @@ def main() -> int:
     q = {}
     q.update(dedup_queries.QUERIES)
     q.update(textops.QUERIES)
+    q.update(spans.QUERIES)
     q.update(similarity.QUERIES)
     q.update(relational.QUERIES)
     headline = [
@@ -190,6 +191,7 @@ def main() -> int:
         "embedding_topk_cosine",
         "embedding_ann_lsh",
         "embedding_ann_ivf",
+        "doc_dup_span_stats",
         "neardup_clusters_documents",
     ]
     # one UNTIMED warmup pass in this fresh JVM (JIT/codegen/scan caches):

@@ -1,0 +1,207 @@
+"""Cross-document duplicated-SPAN detection (exact substring dedup).
+
+The channel the other dedup operators don't cover: MinHash/SimHash find
+mostly-similar DOCUMENTS; this finds exact shared SUBSTRINGS of length >= L
+anywhere in the corpus — boilerplate headers, license blocks, templated
+paragraphs — the signal "Deduplicating Training Data Makes Language Models
+Better" (Lee et al., ACL 2022) removes with a corpus-wide suffix array.
+
+Spark-first design (NOT a suffix array — that needs a global sort over every
+byte of a 100 TB corpus). Instead, MOSS-style mod-p winnowing over rolling
+hashes:
+
+1. per doc, hash EVERY length-L character window of the normalized text with
+   the O(n) rolling kernel (`kernels.run_hashes` — prefix sums + inverse
+   powers, splitmix64-finalized), then keep only windows whose hash
+   satisfies h % p == 0. Selection depends on window CONTENT alone, so two
+   copies of a span select the SAME windows regardless of position or
+   surrounding text — a shared span of length S >= L is detected with
+   probability 1 - (1 - 1/p)^(S - L + 1), deterministically per content
+   (same corpus always yields the same answer, which is what makes the
+   channel oracle-able).
+2. emit (doc_id, h) for sampled windows only: the shuffle carries ~n/p
+   16-byte rows per n chars of corpus — no content, no positions — then
+   everything downstream is map-side-combinable JVM aggregation.
+
+At 100 TB: the Python boundary is one Arrow-batched mapInPandas over the
+content scan (numpy kernel per doc, O(n) regardless of L); the emit is the
+only corpus-sized exchange and p scales it down linearly; the per-(h, doc)
+combine happens map-side before the exchange; no collect, no crossJoin, no
+driver loop. Skewed hashes (a license block in 10^8 docs) concentrate one
+key's rows, but each row is 16 bytes and the first groupBy collapses them
+map-side to one row per (h, doc) before the h-window count.
+
+Oracle: `oracle_u64.runwin_ctes` renders the identical uint64 chain as
+DuckDB SQL (HUGEINT limb arithmetic), so both queries are value-hash
+checked end to end, not rows-only.
+
+No reference twin: the reference (ovotech/comms-deduplication) is a keyed
+idempotency wrapper; this is a training-data-pipeline operator from the
+brief's dedup list, same family as stages/minhash_lsh.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import kernels as K
+from . import load_table
+from .oracle_u64 import norm_cte, runwin_ctes
+
+# Window length: a match means "these two docs share >= 64 identical
+# normalized chars" — long enough to be boilerplate, not phrase reuse
+# (Lee et al. use 50 BPE tokens ~ 200+ chars at web scale; the synthetic
+# docs average ~300 chars, so 64 keeps the channel non-vacuous at test SF).
+SPAN_L = 64
+# mod-p sampling rate: 1/8 of windows emitted. At 100 TB this is the knob
+# that trades shuffle volume (linear in 1/p) against the minimum reliably
+# detected span length (~L + a few p).
+SPAN_P = 8
+
+_I64_MIN_AS_U64 = 1 << 63
+_MOD = 1 << 64
+
+_SIGNED_H = (
+    f"(h::HUGEINT - CASE WHEN h >= {_I64_MIN_AS_U64} THEN {_MOD}::HUGEINT"
+    " ELSE 0 END)::BIGINT"
+)
+
+
+def sampled_span_hashes(docs: DataFrame, L: int = SPAN_L,
+                        p: int = SPAN_P) -> DataFrame:
+    """(doc_id, h): mod-p sampled rolling-hash values of every length-L
+    window of the normalized text, one row per sampled POSITION (within-doc
+    repeats kept — they are the intra-doc repetition signal).
+
+    h is the uint64 kernel value viewed as int64 (Spark LongType), the same
+    convention as the LSH band keys; sampling tests the low bits, which the
+    two's-complement view preserves.
+    """
+    mask = np.uint64(p - 1)
+    assert p & (p - 1) == 0, "p must be a power of two (h % p == low bits)"
+
+    def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids: list[np.ndarray] = []
+            hs: list[np.ndarray] = []
+            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
+                t = K.normalize_text(text or "")
+                if len(t) < L:
+                    continue
+                h = K.run_hashes(t, L)
+                sel = h[(h & mask) == np.uint64(0)]
+                if sel.size:
+                    ids.append(np.full(sel.size, doc_id, dtype=np.int64))
+                    hs.append(sel.view(np.int64))
+            if ids:
+                yield pd.DataFrame(
+                    {"doc_id": np.concatenate(ids), "h": np.concatenate(hs)}
+                )
+
+    return docs.select("doc_id", "text").mapInPandas(_emit, "doc_id long, h long")
+
+
+def _per_doc_counts(spans: DataFrame) -> DataFrame:
+    """(h, doc_id, cnt) hash-partitioned on h ALONE. The explicit
+    repartition("h") is the plan-shaping move: hashpartitioning(h) satisfies
+    ClusteredDistribution for BOTH the (h, doc_id) count and every downstream
+    h-keyed operator (the inventory's groupBy(h), the stats' h-window), so
+    the whole chain runs on ONE exchange of the sampled stream instead of
+    re-shuffling the per-(h, doc) rows a second time — at 100 TB that second
+    exchange is another full pass over the channel's largest intermediate.
+    (Trade-off: the first count loses its pre-shuffle partial-agg, but
+    sampled hashes are almost all unique per (h, doc), so the combine was
+    removing ~nothing while the extra exchange cost a full stream.)"""
+    return (
+        spans.repartition("h")
+        .groupBy("h", "doc_id")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def dup_span_inventory(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicated-span inventory: every sampled window hash that
+    occurs in >= 2 distinct documents, with its document count and total
+    sampled occurrence count. The corpus-curation view: rank by n_docs and
+    you have the boilerplate blocks worth stripping before training."""
+    per_doc = _per_doc_counts(
+        sampled_span_hashes(load_table(spark, sf_dir, "documents"))
+    )
+    return (
+        per_doc.groupBy("h")
+        .agg(F.count("*").alias("n_docs"), F.sum("cnt").alias("n_hits"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.col("h").alias("span_hash"), "n_docs", "n_hits")
+    )
+
+
+def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-span exposure: of this doc's sampled windows,
+    how many are shared verbatim with ANOTHER document? `dup_ratio` is the
+    Lee-et-al-style filter signal (drop/trim docs dominated by text that
+    exists elsewhere in the corpus).
+
+    ONE corpus scan: the sampled emit collapses to (h, doc_id, cnt), a
+    window count over h flags cross-doc hashes, and the final groupBy folds
+    both totals per doc — no self-join, no second pass over content.
+    """
+    per_doc = _per_doc_counts(
+        sampled_span_hashes(load_table(spark, sf_dir, "documents"))
+    )
+    flagged = per_doc.withColumn(
+        "nd", F.count("*").over(Window.partitionBy("h"))
+    )
+    dup_cnt = F.sum(
+        F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))
+    ).alias("n_dup_spans")
+    return (
+        flagged.groupBy("doc_id")
+        .agg(F.sum("cnt").alias("n_spans"), dup_cnt)
+        .select(
+            "doc_id",
+            "n_spans",
+            "n_dup_spans",
+            (F.floor(F.col("n_dup_spans") / F.col("n_spans") * 10000
+                     + F.lit(0.5)) / 10000).alias("dup_ratio"),
+        )
+    )
+
+
+def _with_ctes(body: str) -> str:
+    return f"WITH {norm_cte()},\n{runwin_ctes(SPAN_L, SPAN_P)},\n{body}"
+
+
+DUP_SPAN_INVENTORY_SQL = _with_ctes(f"""
+per_doc AS (SELECT h, doc_id, count(*) AS cnt FROM rwin GROUP BY h, doc_id)
+SELECT {_SIGNED_H} AS span_hash,
+       count(*) AS n_docs,
+       CAST(sum(cnt) AS BIGINT) AS n_hits
+FROM per_doc
+GROUP BY h
+HAVING count(*) >= 2
+""")
+
+DOC_DUP_SPAN_STATS_SQL = _with_ctes(f"""
+per_doc AS (SELECT h, doc_id, count(*) AS cnt FROM rwin GROUP BY h, doc_id),
+flagged AS (SELECT doc_id, cnt, count(*) OVER (PARTITION BY h) AS nd
+            FROM per_doc)
+SELECT doc_id,
+       CAST(sum(cnt) AS BIGINT) AS n_spans,
+       CAST(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END) AS BIGINT)
+         AS n_dup_spans,
+       floor(sum(CASE WHEN nd >= 2 THEN cnt ELSE 0 END)
+             / sum(cnt) * 10000 + 0.5) / 10000 AS dup_ratio
+FROM flagged
+GROUP BY doc_id
+""")
+
+
+QUERIES = {
+    "dup_span_inventory": (dup_span_inventory, DUP_SPAN_INVENTORY_SQL),
+    "doc_dup_span_stats": (doc_dup_span_stats, DOC_DUP_SPAN_STATS_SQL),
+}

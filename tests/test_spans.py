@@ -1,0 +1,137 @@
+"""Duplicated-span channel (ops/spans.py): content-defined sampling
+guarantees, planted-span detection, per-doc stats semantics, plan shape."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from dedup import kernels as K
+from dedup.ops.spans import (
+    SPAN_L,
+    SPAN_P,
+    doc_dup_span_stats,
+    dup_span_inventory,
+    sampled_span_hashes,
+)
+
+# a boilerplate block comfortably longer than SPAN_L + a few SPAN_P, so the
+# mod-p sample selects at least one window of it with near-certainty
+_BLOCK = (
+    "this license block is replicated verbatim across documents and long "
+    "enough that the content defined sampler must select shared windows "
+    "from it regardless of where in a document it appears"
+)
+assert len(_BLOCK) > SPAN_L + 8 * SPAN_P
+
+
+def _docs_dir(tmp_path, rows):
+    d = tmp_path / "sf"
+    d.mkdir(parents=True)
+    pd.DataFrame(
+        {
+            "doc_id": [r[0] for r in rows],
+            "text": [r[1] for r in rows],
+            "lang": ["en"] * len(rows),
+            "source": ["t"] * len(rows),
+            "n_chars": [len(r[1]) for r in rows],
+        }
+    ).to_parquet(d / "documents.parquet", index=False)
+    return str(d)
+
+
+def _unique(i: int, n: int = 400) -> str:
+    """Deterministic filler with no long cross-doc repeats."""
+    rng = np.random.default_rng(1000 + i)
+    words = rng.integers(0, 10**9, size=n // 8)
+    return " ".join(f"w{w:09d}"[: 8] for w in words)
+
+
+def test_sampling_is_position_independent(spark):
+    """The same block must yield the same sampled hashes at ANY offset —
+    the property that makes mod-p winnowing sound (selection depends on
+    window content only, never position)."""
+    a = _BLOCK + " " + _unique(1)
+    b = _unique(2) + " tail of different length " + _BLOCK + " " + _unique(3)
+    docs = spark.createDataFrame(
+        [(1, a), (2, b)], "doc_id long, text string"
+    )
+    rows = sampled_span_hashes(docs).toPandas()
+    ha = set(rows[rows.doc_id == 1].h)
+    hb = set(rows[rows.doc_id == 2].h)
+    shared = ha & hb
+    assert shared, "shared block selected no common window hash"
+    # every shared hash must come from the block: recompute the block's own
+    # sampled window set and check containment
+    t = K.normalize_text(_BLOCK)
+    hblk = K.run_hashes(t, SPAN_L)
+    blk = set(
+        hblk[(hblk & np.uint64(SPAN_P - 1)) == np.uint64(0)].view(np.int64)
+    )
+    assert shared <= blk
+
+
+def test_planted_block_detected_unique_docs_clean(spark, tmp_path):
+    sf = _docs_dir(
+        tmp_path,
+        [
+            (1, _unique(10) + " " + _BLOCK),
+            (2, _BLOCK + " " + _unique(11)),
+            (3, _unique(12)),
+            (4, _unique(13)),
+        ],
+    )
+    inv = dup_span_inventory(spark, sf).toPandas()
+    assert len(inv) > 0
+    assert (inv.n_docs == 2).all()  # only docs 1 and 2 share content
+    stats = doc_dup_span_stats(spark, sf).toPandas().set_index("doc_id")
+    assert stats.loc[1, "n_dup_spans"] > 0
+    assert stats.loc[2, "n_dup_spans"] > 0
+    for clean in (3, 4):
+        if clean in stats.index:
+            assert stats.loc[clean, "n_dup_spans"] == 0
+            assert stats.loc[clean, "dup_ratio"] == 0.0
+
+
+def test_stats_invariants(spark, tmp_path):
+    sf = _docs_dir(
+        tmp_path,
+        [(i, _unique(20 + i) + (" " + _BLOCK if i % 2 == 0 else ""))
+         for i in range(1, 9)],
+    )
+    stats = doc_dup_span_stats(spark, sf).toPandas()
+    assert (stats.n_dup_spans <= stats.n_spans).all()
+    assert (stats.n_spans > 0).all()
+    assert ((stats.dup_ratio >= 0) & (stats.dup_ratio <= 1)).all()
+    # within-doc repeats are counted per POSITION: a doc that contains the
+    # block twice accrues twice the hits in the inventory
+    sf2 = _docs_dir(
+        tmp_path / "b",
+        [(1, _BLOCK + " " + _unique(40) + " " + _BLOCK), (2, _BLOCK)],
+    )
+    inv = dup_span_inventory(spark, sf2).toPandas()
+    assert (inv.n_hits >= inv.n_docs).all()
+    assert (inv.n_hits == 3).any(), "doubled block should yield 3-hit hashes"
+
+
+def test_short_and_empty_docs_emit_nothing(spark):
+    docs = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "shorter than L"), (4, "x" * (SPAN_L - 1))],
+        "doc_id long, text string",
+    )
+    assert sampled_span_hashes(docs).count() == 0
+
+
+def test_plan_has_no_cartesian_and_one_python_stage(spark, tmp_path):
+    sf = _docs_dir(tmp_path, [(i, _unique(60 + i)) for i in range(6)])
+    plan = doc_dup_span_stats(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+    # exactly one Python boundary: the sampled emit
+    assert plan.count("MapInPandas") == 1
+    # the h-repartition serves BOTH the (h, doc) count and the h-window, so
+    # the whole query shuffles twice: once on h, once on doc_id for the fold
+    assert plan.count("Exchange") <= 2
+    inv_plan = dup_span_inventory(spark, sf)._jdf.queryExecution().executedPlan().toString()
+    # inventory never leaves h-space after the emit: ONE exchange total
+    assert inv_plan.count("Exchange") <= 1
