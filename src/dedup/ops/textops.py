@@ -318,8 +318,121 @@ FROM documents
 """
 
 
+def doc_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-document repetition filters (Rae et al. 2021,
+    'Scaling Language Models' App. A1.1): the fraction of a doc's tokens /
+    token-2-grams / token-3-grams that are repeats. Training pipelines drop
+    docs above thresholds (e.g. dup 2-gram frac > 0.2) — loops, boilerplate
+    menus, and degenerate generations all light these up.
+
+    Whole-stage-codegen only: the n-grams are built with array expressions
+    (sequence/transform/element_at), never exploded, so each doc's signals
+    compute inside one projection — no shuffle, no Python. Per-doc arrays
+    are doc-length-bounded, the same envelope every other text op assumes.
+    Docs with < 3 tokens carry no usable signal and are excluded (mirrored
+    in the oracle)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    n = F.size(t)
+
+    def grams(t, n, k: int):
+        # positions 1 .. n-k+1; guarded so sequence() never sees start>stop
+        return F.when(
+            n >= k,
+            F.transform(
+                F.sequence(F.lit(1), n - (k - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(t, i + j) for j in range(k)]
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def dup_frac(g):
+        return _round4(1 - F.size(F.array_distinct(g)) / F.size(g))
+
+    base = docs.select("doc_id", t.alias("t")).withColumn("n", F.size("t"))
+    return (
+        base.filter(F.col("n") >= 3)
+        .select(
+            "doc_id",
+            F.col("n").alias("n_tokens"),
+            dup_frac(F.col("t")).alias("dup_token_frac"),
+            dup_frac(grams(F.col("t"), F.col("n"), 2)).alias("dup_2gram_frac"),
+            dup_frac(grams(F.col("t"), F.col("n"), 3)).alias("dup_3gram_frac"),
+        )
+    )
+
+
+def _grams_sql(k: int) -> str:
+    parts = " || ' ' || ".join(f"t[i + {j}]" for j in range(k))
+    return (
+        f"CASE WHEN len(t) >= {k} THEN "
+        f"list_transform(range(1, len(t) - {k - 2}), i -> {parts}) "
+        "ELSE []::VARCHAR[] END"
+    )
+
+
+def _dup_frac_sql(g: str) -> str:
+    return _ROUND4_SQL.format(
+        x=f"1 - len(list_distinct({g})) / len({g})"
+    )
+
+
+DOC_REPETITION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS t
+  FROM documents
+)
+SELECT doc_id,
+       cast(len(t) AS int) AS n_tokens,
+       {_dup_frac_sql('t')} AS dup_token_frac,
+       {_dup_frac_sql(_grams_sql(2))} AS dup_2gram_frac,
+       {_dup_frac_sql(_grams_sql(3))} AS dup_3gram_frac
+FROM toks
+WHERE len(t) >= 3
+"""
+
+
+# vocabulary heavy-hitters: K large enough to be a real vocab slice, small
+# enough that TakeOrderedAndProject keeps the merge driver-trivial
+_VOCAB_K = 100
+
+
+def token_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide token heavy-hitters (vocabulary building / stop-list
+    mining): top-K tokens by total occurrence count, ties broken by token.
+
+    The classic wordcount shape Spark executes optimally at 100 TB:
+    map-side partial counts collapse each task's tokens before the single
+    hash exchange, and the ordered limit runs as TakeOrderedAndProject —
+    per-partition top-K then a K-row driver merge, never a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = F.explode(
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    ).alias("token")
+    return (
+        docs.select(tok)
+        .groupBy("token")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("token"))
+        .limit(_VOCAB_K)
+    )
+
+
+TOKEN_VOCAB_SQL = f"""
+SELECT token, count(*) AS cnt
+FROM (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+        AS token FROM documents)
+GROUP BY token
+ORDER BY cnt DESC, token
+LIMIT {_VOCAB_K}
+"""
+
+
 QUERIES = {
     "doc_token_stats": (doc_token_stats, DOC_TOKEN_STATS_SQL),
+    "doc_repetition_signals": (doc_repetition_signals, DOC_REPETITION_SQL),
+    "token_vocab_topk": (token_vocab_topk, TOKEN_VOCAB_SQL),
     "doc_zscore_by_lang": (doc_zscore_by_lang, DOC_ZSCORE_SQL),
     "doc_quality": (doc_quality, DOC_QUALITY_SQL),
     "lang_id_heuristic": (lang_id_heuristic, LANG_ID_SQL),

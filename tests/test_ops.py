@@ -237,3 +237,58 @@ def test_ann_derives_plane_count_from_corpus(spark, tmp_path):
     derived = sorted(map(tuple, _ann_topk(emb).collect()))
     literal8 = sorted(map(tuple, _ann_topk(emb, n_planes=8).collect()))
     assert derived == literal8
+
+
+def test_repetition_signals_planted(spark, tmp_path):
+    """Planted repetition: a fully-looping doc maxes every fraction, a
+    no-repeat doc zeroes them, and sub-3-token docs are excluded."""
+    import pandas as pd
+
+    d = tmp_path / "rep"
+    d.mkdir()
+    rows = [
+        (1, "a a a a a a"),                   # loop: all repeats
+        (2, "w1 w2 w3 w4 w5 w6"),             # clean: no repeats
+        (3, "x y x y x y x y"),               # 2-period loop
+        (4, "lonely pair"),                   # < 3 tokens: excluded
+    ]
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "lang": ["en"] * 4, "source": ["t"] * 4,
+         "n_chars": [len(r[1]) for r in rows]}
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    from dedup.ops.textops import doc_repetition_signals
+
+    got = (doc_repetition_signals(spark, str(d)).toPandas()
+           .set_index("doc_id").sort_index())
+    assert list(got.index) == [1, 2, 3]
+    # doc 1: 6 tokens 1 distinct -> 1 - 1/6; 5 identical 2-grams -> 1 - 1/5
+    assert abs(got.loc[1, "dup_token_frac"] - (1 - 1 / 6)) < 1e-4
+    assert abs(got.loc[1, "dup_2gram_frac"] - (1 - 1 / 5)) < 1e-4
+    assert abs(got.loc[1, "dup_3gram_frac"] - (1 - 1 / 4)) < 1e-4
+    assert (got.loc[2, ["dup_token_frac", "dup_2gram_frac",
+                        "dup_3gram_frac"]] == 0).all()
+    # doc 3: 8 tokens 2 distinct; 7 2-grams, 2 distinct; 6 3-grams, 2 distinct
+    assert abs(got.loc[3, "dup_token_frac"] - (1 - 2 / 8)) < 1e-4
+    assert abs(got.loc[3, "dup_2gram_frac"] - (1 - 2 / 7)) < 1e-4
+    assert abs(got.loc[3, "dup_3gram_frac"] - (1 - 2 / 6)) < 1e-4
+
+
+def test_token_vocab_topk_order_and_ties(spark, tmp_path):
+    import pandas as pd
+
+    d = tmp_path / "voc"
+    d.mkdir()
+    pd.DataFrame(
+        {"doc_id": [1, 2], "text": ["b b b a a c", "a c  c"],
+         "lang": ["en"] * 2, "source": ["t"] * 2, "n_chars": [11, 6]}
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    from dedup.ops.textops import token_vocab_topk
+
+    got = token_vocab_topk(spark, str(d)).toPandas()
+    # counts: a=3, b=3, c=3 -> tie broken by token asc; empty split tokens
+    # (the double space) never count
+    assert list(got.token) == ["a", "b", "c"]
+    assert list(got.cnt) == [3, 3, 3]
