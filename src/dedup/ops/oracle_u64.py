@@ -103,11 +103,13 @@ shing AS (SELECT DISTINCT doc_id, h AS s FROM {mix_out})"""
 
 
 def runwin_ctes(L: int, p: int) -> str:
-    """CTEs from `norm` to `rwin(doc_id, h)` — the mod-p content-defined
-    SAMPLE of kernels.run_hashes(normalized_text, L): splitmix64 of the
-    ASCENDING-power rolling polynomial over unicode CODE POINTS (run_hashes
-    encodes utf-32, so `ord` per char matches exactly), one row per sampled
-    window position, NOT deduped (within-doc repeats are signal).
+    """CTEs from `norm` to `rwin(doc_id, pos, n, h)` — the mod-p
+    content-defined SAMPLE of kernels.run_hashes(normalized_text, L):
+    splitmix64 of the ASCENDING-power rolling polynomial over unicode CODE
+    POINTS (run_hashes encodes utf-32, so `ord` per char matches exactly),
+    one row per sampled window position, NOT deduped (within-doc repeats
+    are signal). `pos` is the 0-based window start, `n` the normalized doc
+    length — the parallel unnests zip position-wise in DuckDB.
 
     Differs from shingle_ctes twice, both deliberate mirrors of the kernel:
     code points instead of bytes, and h = sum_j code(s+j) * R^j (run_hashes'
@@ -115,7 +117,7 @@ def runwin_ctes(L: int, p: int) -> str:
     Sum bound: code < 2^21, R^j < 2^64 => each term < 2^85, L terms < 2^92,
     inside HUGEINT; `% 2^64` lands the kernel's natural uint64 wraparound."""
     rp = "[" + ", ".join(str(pow(_FNV, j, _MOD)) for j in range(L)) + "]::HUGEINT[]"
-    mix_sql, mix_out = _mix64_ctes("rw", "rwin0", ["doc_id"])
+    mix_sql, mix_out = _mix64_ctes("rw", "rwin0", ["doc_id", "pos", "n"])
     return f"""rbyt AS (
   SELECT doc_id, strlen(t) AS n,
          list_transform(range(1, strlen(t) + 1),
@@ -124,16 +126,17 @@ def runwin_ctes(L: int, p: int) -> str:
   FROM norm WHERE strlen(t) >= {L}
 ),
 rwinraw AS (
-  SELECT doc_id,
+  SELECT doc_id, n,
+         unnest(range(0, n - {L} + 1)) AS pos,
          unnest(list_transform(range(0, n - {L} + 1), s ->
            list_sum(list_transform(range(0, {L}),
                                    j -> cs[(s + j + 1)::INT] * rp[(j + 1)::INT]))
          )) AS hraw
   FROM rbyt
 ),
-rwin0 AS (SELECT doc_id, (hraw % {_MOD})::UBIGINT AS h FROM rwinraw),
+rwin0 AS (SELECT doc_id, pos, n, (hraw % {_MOD})::UBIGINT AS h FROM rwinraw),
 {mix_sql},
-rwin AS (SELECT doc_id, h FROM {mix_out} WHERE h % {p} = 0)"""
+rwin AS (SELECT doc_id, pos, n, h FROM {mix_out} WHERE h % {p} = 0)"""
 
 
 def minhash_band_ctes(num_perm: int, bands: int, rows_per_band: int,

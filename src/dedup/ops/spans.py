@@ -72,11 +72,13 @@ _SIGNED_H = (
 )
 
 
-def sampled_span_hashes(docs: DataFrame, L: int = SPAN_L,
-                        p: int = SPAN_P) -> DataFrame:
+def sampled_span_hashes(docs: DataFrame, L: int = SPAN_L, p: int = SPAN_P,
+                        with_pos: bool = False) -> DataFrame:
     """(doc_id, h): mod-p sampled rolling-hash values of every length-L
     window of the normalized text, one row per sampled POSITION (within-doc
-    repeats kept — they are the intra-doc repetition signal).
+    repeats kept — they are the intra-doc repetition signal). With
+    `with_pos`, rows carry (doc_id, pos, n, h): the window's start offset
+    and the normalized doc length, for interval/coverage consumers.
 
     h is the uint64 kernel value viewed as int64 (Spark LongType), the same
     convention as the LSH band keys; sampling tests the low bits, which the
@@ -87,23 +89,39 @@ def sampled_span_hashes(docs: DataFrame, L: int = SPAN_L,
 
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids: list[np.ndarray] = []
-            hs: list[np.ndarray] = []
+            cols: dict[str, list[np.ndarray]] = {
+                "doc_id": [], "pos": [], "n": [], "h": []
+            }
             for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
                 t = K.normalize_text(text or "")
                 if len(t) < L:
                     continue
                 h = K.run_hashes(t, L)
-                sel = h[(h & mask) == np.uint64(0)]
+                keep = (h & mask) == np.uint64(0)
+                sel = h[keep]
                 if sel.size:
-                    ids.append(np.full(sel.size, doc_id, dtype=np.int64))
-                    hs.append(sel.view(np.int64))
-            if ids:
-                yield pd.DataFrame(
-                    {"doc_id": np.concatenate(ids), "h": np.concatenate(hs)}
-                )
+                    cols["doc_id"].append(
+                        np.full(sel.size, doc_id, dtype=np.int64)
+                    )
+                    cols["h"].append(sel.view(np.int64))
+                    if with_pos:
+                        cols["pos"].append(
+                            np.nonzero(keep)[0].astype(np.int64)
+                        )
+                        cols["n"].append(
+                            np.full(sel.size, len(t), dtype=np.int64)
+                        )
+            if cols["doc_id"]:
+                out = {"doc_id": np.concatenate(cols["doc_id"])}
+                if with_pos:
+                    out["pos"] = np.concatenate(cols["pos"])
+                    out["n"] = np.concatenate(cols["n"])
+                out["h"] = np.concatenate(cols["h"])
+                yield pd.DataFrame(out)
 
-    return docs.select("doc_id", "text").mapInPandas(_emit, "doc_id long, h long")
+    schema = ("doc_id long, pos long, n long, h long" if with_pos
+              else "doc_id long, h long")
+    return docs.select("doc_id", "text").mapInPandas(_emit, schema)
 
 
 def _per_doc_counts(spans: DataFrame) -> DataFrame:
@@ -172,6 +190,64 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document CHARACTER coverage of cross-document duplicated spans —
+    the signal Lee et al. actually act on (trim/drop the covered range, not
+    the whole doc). A sampled window at `pos` witnesses duplicated chars
+    [pos, pos+L); overlapping witnesses merge by gaps-and-islands (running
+    max of interval end over a doc-ordered window), so chars are counted
+    once however many windows cover them. Output: docs with >= 1 duplicated
+    window, their covered char count, normalized length, and the fraction.
+
+    Scale shape: the cross-doc flag is TWO plain count windows over the one
+    h-exchange (count per h vs count per (h, doc) — 'exists in another doc'
+    without countDistinct or collect_set, so a boilerplate hash shared by
+    10^8 docs costs a sort, never a per-key buffer); islands then run
+    doc-local on the doc_id exchange, and both final groupBys reuse it.
+    """
+    spans = sampled_span_hashes(
+        load_table(spark, sf_dir, "documents"), with_pos=True
+    ).repartition("h")
+    n_all = F.count("*").over(Window.partitionBy("h"))
+    n_own = F.count("*").over(Window.partitionBy("h", "doc_id"))
+    flagged = (
+        spans.withColumn("n_all", n_all)
+        .withColumn("n_own", n_own)
+        .filter(F.col("n_all") > F.col("n_own"))
+        .select("doc_id", "pos", "n")
+    )
+    wp = Window.partitionBy("doc_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + SPAN_L).over(
+        wp.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    islands = flagged.withColumn(
+        "new_i",
+        F.when(prev_end.isNull() | (F.col("pos") > prev_end), 1).otherwise(0),
+    ).withColumn(
+        "island",
+        F.sum("new_i").over(wp.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_island = islands.groupBy("doc_id", "island").agg(
+        F.min("pos").alias("s"),
+        F.max(F.col("pos") + SPAN_L).alias("e"),
+        F.max("n").alias("n"),
+    )
+    return (
+        per_island.groupBy("doc_id")
+        .agg(
+            F.sum(F.col("e") - F.col("s")).alias("covered_chars"),
+            F.max("n").alias("n_chars_norm"),
+        )
+        .select(
+            "doc_id",
+            "covered_chars",
+            "n_chars_norm",
+            (F.floor(F.col("covered_chars") / F.col("n_chars_norm") * 10000
+                     + F.lit(0.5)) / 10000).alias("dup_coverage_frac"),
+        )
+    )
+
+
 def _with_ctes(body: str) -> str:
     return f"WITH {norm_cte()},\n{runwin_ctes(SPAN_L, SPAN_P)},\n{body}"
 
@@ -201,7 +277,47 @@ GROUP BY doc_id
 """)
 
 
+DOC_DUP_SPAN_COVERAGE_SQL = _with_ctes(f"""
+flagged AS (
+  SELECT doc_id, pos, n FROM (
+    SELECT doc_id, pos, n,
+           count(*) OVER (PARTITION BY h) AS n_all,
+           count(*) OVER (PARTITION BY h, doc_id) AS n_own
+    FROM rwin
+  ) WHERE n_all > n_own
+),
+isl AS (
+  SELECT doc_id, pos, n,
+         CASE WHEN max(pos + {SPAN_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+              OR pos > max(pos + {SPAN_L}) OVER (
+                PARTITION BY doc_id ORDER BY pos
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS new_i
+  FROM flagged
+),
+isl2 AS (
+  SELECT doc_id, pos, n,
+         sum(new_i) OVER (PARTITION BY doc_id ORDER BY pos
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+  FROM isl
+),
+per_island AS (
+  SELECT doc_id, island, min(pos) AS s, max(pos + {SPAN_L}) AS e,
+         max(n) AS n
+  FROM isl2 GROUP BY doc_id, island
+)
+SELECT doc_id,
+       CAST(sum(e - s) AS BIGINT) AS covered_chars,
+       CAST(max(n) AS BIGINT) AS n_chars_norm,
+       floor(sum(e - s) / max(n) * 10000 + 0.5) / 10000 AS dup_coverage_frac
+FROM per_island GROUP BY doc_id
+""")
+
+
 QUERIES = {
     "dup_span_inventory": (dup_span_inventory, DUP_SPAN_INVENTORY_SQL),
     "doc_dup_span_stats": (doc_dup_span_stats, DOC_DUP_SPAN_STATS_SQL),
+    "doc_dup_span_coverage": (doc_dup_span_coverage, DOC_DUP_SPAN_COVERAGE_SQL),
 }

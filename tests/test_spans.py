@@ -135,3 +135,45 @@ def test_plan_has_no_cartesian_and_one_python_stage(spark, tmp_path):
     inv_plan = dup_span_inventory(spark, sf)._jdf.queryExecution().executedPlan().toString()
     # inventory never leaves h-space after the emit: ONE exchange total
     assert inv_plan.count("Exchange") <= 1
+
+
+def test_coverage_merges_overlaps_and_ignores_intra_doc_repeats(spark, tmp_path):
+    from dedup.ops.spans import doc_dup_span_coverage
+
+    # an internal-only block DISJOINT from _BLOCK (not a substring of it)
+    intra = "internal refrain " * 8
+    sf = _docs_dir(
+        tmp_path,
+        [
+            (1, _unique(80) + " " + _BLOCK + " " + _unique(81)),
+            (2, _BLOCK),
+            # doc 3 repeats a block INTERNALLY but shares nothing across
+            # docs: must not appear (the flag is exists-in-ANOTHER-doc)
+            (3, intra + " " + _unique(82) + " " + intra),
+        ],
+    )
+    cov = doc_dup_span_coverage(spark, sf).toPandas().set_index("doc_id")
+    assert set(cov.index) <= {1, 2}
+    assert {1, 2} <= set(cov.index)
+    assert 3 not in cov.index
+    # doc 2 IS the block: sampled duplicated windows tile most of it, and
+    # the island merge must never exceed the doc length
+    assert (cov.covered_chars <= cov.n_chars_norm).all()
+    assert cov.loc[2, "dup_coverage_frac"] > 0.5
+    # doc 1 embeds the same block in ~2x unique filler: its covered chars
+    # come from the block alone, so the fraction must be well under doc 2's
+    assert cov.loc[1, "dup_coverage_frac"] < cov.loc[2, "dup_coverage_frac"]
+    # interval-union sanity against a direct recomputation for doc 2
+    import numpy as np
+
+    from dedup.ops.spans import SPAN_L, SPAN_P
+    t = K.normalize_text(_BLOCK)
+    h = K.run_hashes(t, SPAN_L)
+    keep = np.nonzero((h & np.uint64(SPAN_P - 1)) == np.uint64(0))[0]
+    covered = 0
+    end = -1
+    for s in keep:  # every sampled window of doc 2 is shared with doc 1
+        lo = max(int(s), end)
+        covered += max(0, int(s) + SPAN_L - lo)
+        end = max(end, int(s) + SPAN_L)
+    assert cov.loc[2, "covered_chars"] == covered
