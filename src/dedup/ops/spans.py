@@ -248,6 +248,47 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def source_contamination_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-SOURCE contamination matrix: for every pair of sources, how
+    many distinct sampled window hashes they share verbatim. The corpus
+    audit that catches benchmark leakage / mirrored crawls BEFORE training:
+    a hot (src_a, src_b) row means one source's text exists inside the
+    other's.
+
+    Scale shape: spans compact to distinct (h, doc) map-side, pick up
+    `source` by doc_id equi-join (dim-keyed, AQE broadcasts when small),
+    dedup to (h, source), then per-h source sets expand to ordered pairs
+    IN-ARRAY (sorted collect_set + slice/transform — the minhash channel's
+    star-expansion idiom, stages/minhash_lsh.py) so there is NO self-join
+    and no second derivation of the channel. collect_set is bounded by the
+    SOURCE cardinality (a catalog-sized dimension), not by document count.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    spans = sampled_span_hashes(docs)
+    hs = (
+        spans.dropDuplicates(["h", "doc_id"])
+        .join(docs.select("doc_id", "source"), "doc_id")
+        .select("h", "source")
+        .dropDuplicates()
+    )
+    sets = (
+        hs.groupBy("h")
+        .agg(F.sort_array(F.collect_set("source")).alias("ss"))
+        .filter(F.size("ss") >= 2)
+    )
+    pairs = F.expr(
+        "flatten(transform(sequence(0, size(ss)-2), i -> "
+        "transform(slice(ss, i+2, size(ss)-i-1), y -> "
+        "struct(ss[i] AS src_a, y AS src_b))))"
+    )
+    return (
+        sets.select(F.explode(pairs).alias("pr"))
+        .groupBy(F.col("pr.src_a").alias("src_a"),
+                 F.col("pr.src_b").alias("src_b"))
+        .agg(F.count("*").alias("n_shared_spans"))
+    )
+
+
 def _with_ctes(body: str) -> str:
     return f"WITH {norm_cte()},\n{runwin_ctes(SPAN_L, SPAN_P)},\n{body}"
 
@@ -316,8 +357,21 @@ FROM per_island GROUP BY doc_id
 """)
 
 
+SOURCE_CONTAMINATION_SQL = _with_ctes("""
+hs AS (SELECT DISTINCT h, d.source
+       FROM rwin r JOIN documents d ON r.doc_id = d.doc_id)
+SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_shared_spans
+FROM hs a JOIN hs b USING (h)
+WHERE a.source < b.source
+GROUP BY a.source, b.source
+""")
+
+
 QUERIES = {
     "dup_span_inventory": (dup_span_inventory, DUP_SPAN_INVENTORY_SQL),
+    "source_contamination_pairs": (
+        source_contamination_pairs, SOURCE_CONTAMINATION_SQL,
+    ),
     "doc_dup_span_stats": (doc_dup_span_stats, DOC_DUP_SPAN_STATS_SQL),
     "doc_dup_span_coverage": (doc_dup_span_coverage, DOC_DUP_SPAN_COVERAGE_SQL),
 }

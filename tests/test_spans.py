@@ -177,3 +177,32 @@ def test_coverage_merges_overlaps_and_ignores_intra_doc_repeats(spark, tmp_path)
         covered += max(0, int(s) + SPAN_L - lo)
         end = max(end, int(s) + SPAN_L)
     assert cov.loc[2, "covered_chars"] == covered
+
+
+def test_source_contamination_pairs_planted(spark, tmp_path):
+    from dedup.ops.spans import source_contamination_pairs
+
+    d = tmp_path / "src"
+    d.mkdir(parents=True)
+    rows = [
+        (1, _unique(90) + " " + _BLOCK, "alpha"),
+        (2, _BLOCK + " " + _unique(91), "beta"),
+        (3, _unique(92) + " " + _BLOCK, "gamma"),
+        (4, _unique(93), "clean"),
+        (5, _unique(94), "alpha"),  # same-source extra doc: no new pairs
+    ]
+    pd.DataFrame(
+        {"doc_id": [r[0] for r in rows], "text": [r[1] for r in rows],
+         "lang": ["en"] * len(rows), "source": [r[2] for r in rows],
+         "n_chars": [len(r[1]) for r in rows]}
+    ).to_parquet(d / "documents.parquet", index=False)
+
+    got = (source_contamination_pairs(spark, str(d)).toPandas()
+           .sort_values(["src_a", "src_b"]).reset_index(drop=True))
+    # the block lives in alpha, beta, gamma -> exactly the 3 ordered pairs,
+    # each sharing the SAME sampled hash count; 'clean' appears nowhere
+    assert list(map(tuple, got[["src_a", "src_b"]].values)) == [
+        ("alpha", "beta"), ("alpha", "gamma"), ("beta", "gamma")
+    ]
+    assert got.n_shared_spans.nunique() == 1
+    assert (got.n_shared_spans > 0).all()
