@@ -125,3 +125,39 @@ def test_clusters_sql_builds_and_runs(con):
     assert by_id[6] == by_id[7] == 6
     assert by_id[0] == by_id[1] == 0
     assert by_id[2] != by_id[5]
+
+
+def test_runwin_ctes_match_run_hashes_kernel(con):
+    """runwin_ctes at p=1 (no sampling) must reproduce kernels.run_hashes
+    bit-for-bit, position-for-position — including the exactly-L doc whose
+    single window starts at pos 0 and the sub-L docs which emit nothing."""
+    L = 16
+    sql = (f"WITH {O.norm_cte()},\n{O.runwin_ctes(L, 1)}\n"
+           "SELECT doc_id, pos, n, h FROM rwin ORDER BY doc_id, pos")
+    got = con.execute(sql).df()
+    for doc_id, text in DOCS:
+        t = K.normalize_text(text)
+        h = K.run_hashes(t, L)
+        ours = got[got.doc_id == doc_id]
+        assert len(ours) == len(h), f"doc {doc_id}: {len(ours)} vs {len(h)}"
+        if len(h):
+            assert (ours.n == len(t)).all()
+            assert list(ours.pos) == list(range(len(h)))
+            np.testing.assert_array_equal(
+                ours.h.to_numpy().astype("uint64"), h
+            )
+
+
+def test_runwin_sampling_matches_low_bit_mask(con):
+    """The SQL's `h % p = 0` must select exactly the kernel rows whose
+    mixed hash has p's low bits clear (the Spark side tests h & (p-1))."""
+    L, p = 16, 8
+    sql = (f"WITH {O.norm_cte()},\n{O.runwin_ctes(L, p)}\n"
+           "SELECT doc_id, pos FROM rwin ORDER BY doc_id, pos")
+    got = con.execute(sql).df()
+    expect = []
+    for doc_id, text in DOCS:
+        h = K.run_hashes(K.normalize_text(text), L)
+        for pos in np.nonzero((h & np.uint64(p - 1)) == np.uint64(0))[0]:
+            expect.append((doc_id, int(pos)))
+    assert list(map(tuple, got.values)) == sorted(expect)
