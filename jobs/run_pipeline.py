@@ -39,6 +39,13 @@ def main() -> int:
     src.add_argument("--ingest-emb", metavar="PARQUET",
                      help="incrementally cluster a NEW embedding batch "
                           "against an existing --work-dir index")
+    src.add_argument("--build-span-index", metavar="PARQUET",
+                     help="build the persistent duplicated-span index + "
+                          "per-doc dup stats from a base corpus (parquet "
+                          "with columns doc_id, text)")
+    src.add_argument("--ingest-spans", metavar="PARQUET",
+                     help="incrementally fold a NEW document batch into an "
+                          "existing --work-dir span index")
     ap.add_argument("--work-dir", required=True,
                     help="checkpoint/output root (ledger + snapshot tables)")
     ap.add_argument("--format", dest="fmt", default=None,
@@ -100,6 +107,41 @@ def main() -> int:
             "batch_vectors": n_batch,
             "vectors_total": clusters.count(),
             "clusters": clusters.select("cluster_id").distinct().count(),
+            "wall_s": round(time.time() - t0, 2),
+            "work_dir": str(args.work_dir),
+        }))
+        spark.stop()
+        return 0
+    if args.build_span_index or args.ingest_spans:
+        from dedup.incremental_spans import (
+            build_span_index, ingest_spans, read_span_stats,
+        )
+        from dedup.ledger import Ledger
+        from dedup.storage import TableStore
+
+        work = Path(args.work_dir)
+        store = TableStore(work / "tables")
+        if args.build_span_index:
+            docs = spark.read.parquet(args.build_span_index)
+            stats = build_span_index(spark, config, store, docs)
+            mode = "build_span_index"
+            n_batch = docs.count()
+        else:
+            ledger = Ledger(work / "ledger")
+            batch = spark.read.parquet(args.ingest_spans)
+            n_batch = batch.count()
+            stats = ingest_spans(spark, config, store, ledger, batch)
+            mode = "ingest_spans"
+        from pyspark.sql import functions as F
+        agg = stats.agg(
+            F.count(F.lit(1)).alias("docs"),
+            F.count(F.when(F.col("n_dup_spans") > 0, 1)).alias("dup_docs"),
+        ).collect()[0]
+        print(json.dumps({
+            "mode": mode,
+            "batch_docs": n_batch,
+            "docs_with_spans": agg["docs"],
+            "docs_with_dup_spans": agg["dup_docs"],
             "wall_s": round(time.time() - t0, 2),
             "work_dir": str(args.work_dir),
         }))
