@@ -177,3 +177,48 @@ def test_second_batch_flips_a_batch1_doc(spark, tmp_path, ingested):
     s = stats2.set_index("doc_id")
     assert s.loc[14, "n_dup_spans"] > 0      # flipped by batch-2 doc 21
     assert s.loc[22, "n_dup_spans"] == 0
+
+
+@pytest.mark.parametrize("seed", [7, 23, 91])
+def test_randomized_union_equivalence(spark, tmp_path, seed):
+    """Small-vocabulary random corpora create organically rich duplication
+    (3+ holders per hash, within-doc repeats, hashes flipping across both
+    batches) that the planted fixture can't enumerate; build + two ingests
+    must still equal the one-shot query on the union, exactly."""
+    rng = np.random.default_rng(seed)
+    # a pool of 15 distinct ~150-char phrases; each doc concatenates 2-5
+    # pool phrases (with replacement -> within-doc repeats) separated by
+    # doc-unique words -> multi-holder hashes, repeats, cross-batch flips
+    pool = [
+        " ".join(f"p{k:02d}w{w:06d}" for w in
+                 np.random.default_rng(10_000 * seed + k)
+                 .integers(0, 10**6, size=16))
+        for k in range(15)
+    ]
+    rows = []
+    for i in range(30):
+        picks = rng.integers(0, len(pool), size=int(rng.integers(2, 6)))
+        segs = []
+        for j, k in enumerate(picks):
+            segs.append(pool[k])
+            segs.append(f"uniq{i:03d}x{j}")
+        rows.append((i, " ".join(segs)))
+    base, b1, b2 = rows[:14], rows[14:23], rows[23:]
+
+    work = tmp_path / f"rand{seed}"
+    store = TableStore(work / "tables")
+    ledger = Ledger(work / "ledger")
+    build_span_index(spark, CFG, store, _docs_df(spark, base))
+    ingest_spans(spark, CFG, store, ledger, _docs_df(spark, b1))
+    got = _canon(
+        ingest_spans(
+            spark, CFG, store, ledger, _docs_df(spark, b2)
+        ).toPandas()
+    )
+    oneshot = _canon(
+        doc_dup_span_stats(spark, _union_dir(tmp_path / f"u{seed}", rows))
+        .toPandas()
+    )
+    pd.testing.assert_frame_equal(got, oneshot)
+    # the case is only convincing if duplication is actually rich
+    assert (got.n_dup_spans > 0).sum() >= 5
