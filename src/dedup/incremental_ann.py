@@ -87,8 +87,13 @@ def read_emb_clusters(spark: SparkSession, store: TableStore) -> DataFrame:
 
 
 def _batch_fingerprint(emb: DataFrame) -> str:
+    # ADVICE r5: fold the embedding VALUES in, not just vec_id — a
+    # re-submitted batch with the same ids but different vectors must not
+    # replay the stored result (mirrors incremental_spans' sha2(text) fold)
     row = emb.agg(
-        F.coalesce(F.expr("bit_xor(xxhash64(vec_id))"), F.lit(0)).alias("h"),
+        F.coalesce(
+            F.expr("bit_xor(xxhash64(vec_id, embedding))"), F.lit(0)
+        ).alias("h"),
         F.count(F.lit(1)).alias("n"),
     ).collect()[0]
     return f"embbatch-{row['n']}-{row['h'] & 0xFFFFFFFFFFFFFFFF:016x}"
@@ -264,6 +269,17 @@ def ingest_embeddings(
         vectors_old = store.read(spark, "emb_vectors")
         n_planes = int(store.read_pandas("emb_meta")["n_planes"].iloc[0])
         clusters_old = read_emb_clusters(spark, store)
+
+        # -- 0. dimension guard (ADVICE r5): build_embedding_index raises on
+        # dim != _DIM, but a wrong-dim ingest batch would silently bucket
+        # every vector to 0 (zip_with NULLs the dot) and commit the bad rows
+        # permanently. Fail fast on the first row instead.
+        bad = new_emb.select(F.size("embedding").alias("d")).head(1)
+        if bad and int(bad[0]["d"]) != _DIM:
+            raise ValueError(
+                f"ingest_embeddings: embedding dim {int(bad[0]['d'])} != "
+                f"index dim {_DIM}"
+            )
 
         # -- 1. drop re-ingested vec_ids (commits are all-or-nothing, so a
         # vec_id in emb_vectors implies its bucket/cluster rows landed too)

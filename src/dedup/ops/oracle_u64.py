@@ -111,6 +111,14 @@ def runwin_ctes(L: int, p: int) -> str:
     are signal). `pos` is the 0-based window start, `n` the normalized doc
     length — the parallel unnests zip position-wise in DuckDB.
 
+    ASCII-only constraint (ADVICE r5, documented like norm_cte's): the
+    window COUNT/positions here are sized with strlen(t) — BYTES — while
+    the kernel counts UTF-32 code points, so for non-ASCII normalized text
+    the oracle's `pos`/`n` would diverge from the Spark path. The test
+    corpora honor norm_cte's ASCII convention; the SQL text itself is
+    frozen (the driver fingerprints it), so the fix is this contract note,
+    not a rewrite.
+
     Differs from shingle_ctes twice, both deliberate mirrors of the kernel:
     code points instead of bytes, and h = sum_j code(s+j) * R^j (run_hashes'
     prefix-sum form) instead of the shingle chain's descending powers.

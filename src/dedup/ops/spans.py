@@ -134,9 +134,17 @@ def _per_doc_counts(spans: DataFrame) -> DataFrame:
     exchange is another full pass over the channel's largest intermediate.
     (Trade-off: the first count loses its pre-shuffle partial-agg, but
     sampled hashes are almost all unique per (h, doc), so the combine was
-    removing ~nothing while the extra exchange cost a full stream.)"""
+    removing ~nothing while the extra exchange cost a full stream.)
+
+    The explicit isNotNull(h) is vacuously true (the emit kernel always
+    yields an int64 h) but LOAD-BEARING for plan identity: the r6 cross-doc
+    flag joins a second consumer onto this stream, and the join pushes
+    isnotnull(h) below ITS copy of the exchange — without the filter being
+    present on both branches the exchange subtrees differ and ReusedExchange
+    cannot fire, doubling the corpus scan (plan-pinned in test_plans)."""
     return (
-        spans.repartition("h")
+        spans.where(F.col("h").isNotNull())
+        .repartition("h")
         .groupBy("h", "doc_id")
         .agg(F.count("*").alias("cnt"))
     )
@@ -186,7 +194,11 @@ def doc_dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("nd") >= 2)
         .select("h", F.lit(1).alias("isdup"))
     )
-    flagged = per_doc.join(dup_h, "h", "left")
+    # shuffle_hash hint: both sides are already h-partitioned, and a
+    # sort-merge join would re-introduce a per-h sort of the probe side —
+    # the exact straggler the window removal is for. The build side is one
+    # row per cross-doc h.
+    flagged = per_doc.join(dup_h.hint("shuffle_hash"), "h", "left")
     dup_cnt = F.sum(
         F.when(F.col("isdup").isNotNull(), F.col("cnt")).otherwise(F.lit(0))
     ).alias("n_dup_spans")
@@ -221,16 +233,26 @@ def doc_dup_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     the old `n_all > n_own` window predicate, with no single-task sort on
     a mega-hot hash; islands then run doc-local on the doc_id exchange.
     """
-    spans = sampled_span_hashes(
-        load_table(spark, sf_dir, "documents"), with_pos=True
-    ).repartition("h")
+    spans = (
+        sampled_span_hashes(
+            load_table(spark, sf_dir, "documents"), with_pos=True
+        )
+        # vacuously-true filter for exchange-subtree identity across the
+        # two consumers — see _per_doc_counts
+        .where(F.col("h").isNotNull())
+        .repartition("h")
+    )
     dup_h = (
         spans.groupBy("h", "doc_id").agg(F.count(F.lit(1)).alias("c"))
         .groupBy("h").agg(F.count(F.lit(1)).alias("nd"))
         .where(F.col("nd") >= 2)
         .select("h")
     )
-    flagged = spans.join(dup_h, "h", "semi").select("doc_id", "pos", "n")
+    # shuffle_hash: see doc_dup_span_stats — keeps the probe side unsorted
+    flagged = (
+        spans.join(dup_h.hint("shuffle_hash"), "h", "semi")
+        .select("doc_id", "pos", "n")
+    )
     wp = Window.partitionBy("doc_id").orderBy("pos")
     prev_end = F.max(F.col("pos") + SPAN_L).over(
         wp.rowsBetween(Window.unboundedPreceding, -1)

@@ -53,6 +53,14 @@ FROM documents
 def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality scoring: lexical diversity + alpha ratio + stopword signal."""
     docs = load_table(spark, sf_dir, "documents")
+    # r6: a single-row-group documents file scans as ONE partition and the
+    # three regexp passes are CPU-bound per row — spread them when the scan
+    # is under-split (no-op on well-partitioned inputs; guide §2.5/§6)
+    from ..stages.minhash_lsh import ensure_parallelism
+
+    docs = ensure_parallelism(
+        docs, int(spark.conf.get("spark.sql.shuffle.partitions"))
+    )
     toks = F.split(F.col("text"), " ")
     n_tok = F.size(toks)
     n_dis = F.size(F.array_distinct(toks))

@@ -49,9 +49,16 @@ def _large_star(edges: DataFrame) -> DataFrame:
     return out.where(F.col("u") != F.col("v")).distinct()
 
 
-def _small_star(edges: DataFrame) -> DataFrame:
-    """Attach every smaller neighbor (and u itself) to the min neighbor."""
-    d = _canon(edges)  # u > v for every row
+def _small_star(edges: DataFrame, canonical: bool = False) -> DataFrame:
+    """Attach every smaller neighbor (and u itself) to the min neighbor.
+
+    canonical=True skips the re-canonicalization distinct when the caller
+    guarantees the input already satisfies _canon's postcondition (u > v,
+    no self-loops, distinct) — _large_star's output does (its final
+    projection emits new_u = old v > new_v = min(...) and ends in
+    where(u != v).distinct()), so the alternation saves one exchange per
+    round (r6, guide §2.4)."""
+    d = edges if canonical else _canon(edges)  # u > v for every row
     mins = d.groupBy("u").agg(F.min("v").alias("mn"))
     joined = d.join(mins, "u")
     out = joined.select(F.col("v").alias("u"), F.col("mn").alias("v")).unionByName(
@@ -68,6 +75,23 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
     return int(row["n"]), int(row["h"])
 
 
+def _ckpt_with_fingerprint(edges: DataFrame) -> tuple[DataFrame, tuple[int, int]]:
+    """Eager localCheckpoint + edge-set fingerprint from the SAME action
+    (r6, guide §1.5/§2.4): the fingerprint rides the checkpoint
+    materialization as observed metrics instead of a second aggregate job
+    per round — halving the per-round job count of the CC loop."""
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    out = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).localCheckpoint(eager=True)
+    m = obs.get
+    return out, (int(m["n"]), int(m["h"]))
+
+
 def connected_components(
     edges: DataFrame, max_iter: int = 50
 ) -> tuple[DataFrame, int]:
@@ -81,14 +105,18 @@ def connected_components(
     # transforms reference their input twice (symmetrize = input union
     # swapped-input), so an unmaterialized upstream DAG — e.g. the whole
     # UDF-heavy verify pipeline — would recompute per reference, per round.
-    cur = _canon(
-        edges.select(F.col("src").alias("u"), F.col("dst").alias("v"))
-    ).localCheckpoint(eager=True)
-    prev_fp = _fingerprint(cur)
+    # r6: the convergence fingerprint is observed on the checkpoint action
+    # itself (one job per round, not two), and the small-star skips its
+    # re-canonicalization distinct since large-star's output is already
+    # canonical (one exchange fewer per round).
+    cur, prev_fp = _ckpt_with_fingerprint(
+        _canon(edges.select(F.col("src").alias("u"), F.col("dst").alias("v")))
+    )
     rounds = 0
     for rounds in range(1, max_iter + 1):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
+        cur, fp = _ckpt_with_fingerprint(
+            _small_star(_large_star(cur), canonical=True)
+        )
         if fp == prev_fp:
             break
         prev_fp = fp

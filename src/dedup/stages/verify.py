@@ -218,10 +218,10 @@ def verify_edges(pairs_with_content: DataFrame, config: DedupConfig,
         # - hash on (src, dst) load-balances by pair count — a hot pivot's
         #   edges spread across partitions instead of pinning one straggler
         #   task (measured 2->8 scaling of this stage before: 0.44);
-        # - sortWithinPartitions restores the contiguity the per-BATCH memo
-        #   needs (the memo dicts live inside the Arrow-batch loop, so
-        #   same-src runs within a partition are what produce hits; a hot
-        #   doc re-normalizes once per partition it lands in — bounded);
+        # - sortWithinPartitions keeps same-src pairs contiguous so the
+        #   per-TASK memo (r6: generator-scope, char-budget-bounded) evicts
+        #   less under its epoch clears; a hot doc re-normalizes once per
+        #   partition it lands in — bounded;
         # - unlike the previous repartitionByRange, a hash exchange needs
         #   no range-boundary sampling pass, which re-evaluated the whole
         #   screens + content-join subtree a second time;
@@ -258,71 +258,90 @@ def make_verifier(config: DedupConfig):
                 lvl = int(lvl * 1.5)
             return min(lvl, threshold)
 
+        # Per-TASK memo (r6): a doc appears in ~dozens of pairs spread
+        # across MANY Arrow batches (the batch size is a transfer knob, not
+        # a locality unit), and the per-doc setup — normalize + RunHasher
+        # prefix state + level hashes — was 60% of measured worker time
+        # when rebuilt per batch (OPTIMIZATION_r06.md). The memo now lives
+        # at generator scope and survives across batches, bounded by a
+        # normalized-char budget: when the tracked text mass exceeds
+        # _MEMO_CHAR_BUDGET every map is cleared (epoch eviction — O(1),
+        # no LRU bookkeeping; derived state is ~25x the char count, so the
+        # budget caps worker memory at ~130 MB regardless of corpus size).
+        _MEMO_CHAR_BUDGET = 4 << 20
+        texts: dict[int, str] = {}
+        shingle_sets: dict[int, "np.ndarray"] = {}
+        level_hashes: dict[tuple[int, int], "np.ndarray"] = {}
+        hashers: dict[int, "K.RunHasher"] = {}
+        memo_chars = 0
+
+        def text_of(doc_id: int, raw: str) -> str:
+            nonlocal memo_chars
+            t = texts.get(doc_id)
+            if t is None:
+                t = K.normalize_text(raw) if norm else raw
+                if memo_chars + len(t) > _MEMO_CHAR_BUDGET:
+                    texts.clear()
+                    shingle_sets.clear()
+                    level_hashes.clear()
+                    hashers.clear()
+                    memo_chars = 0
+                texts[doc_id] = t
+                memo_chars += len(t)
+            return t
+
+        def hasher_of(doc_id: int, text: str) -> "K.RunHasher":
+            # memoized rolling-hash state: encode + prefix/inverse-power
+            # setup once per doc; every window length afterwards (level
+            # grid, pair thresholds, binary-search midpoints) is ~3
+            # vector ops instead of a fresh O(n) setup
+            h = hashers.get(doc_id)
+            if h is None:
+                h = K.RunHasher(text)
+                hashers[doc_id] = h
+            return h
+
+        def shingles_of(doc_id: int, text: str) -> "np.ndarray":
+            # LAZY: the k-shingle pass costs O(k*n); ~97% of candidate
+            # pairs sit below the floor gate and never need Jaccard, so
+            # shingling only happens for plausible accepts
+            s = shingle_sets.get(doc_id)
+            if s is None:
+                s = K.char_shingle_hashes(text, k)
+                shingle_sets[doc_id] = s
+            return s
+
+        def levelh(doc_id: int, text: str, lvl: int) -> "np.ndarray":
+            key = (doc_id, lvl)
+            h = level_hashes.get(key)
+            if h is None:
+                h = np.sort(hasher_of(doc_id, text).hashes(lvl))
+                level_hashes[key] = h
+            return h
+
+        def exact_jaccard(sa, sb) -> float:
+            if sa.size == 0 and sb.size == 0:
+                return 1.0
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            return inter / float(sa.size + sb.size - inter)
+
         for pdf in batches:
             n = len(pdf)
             jac = [-1.0] * n
             lcs = [0] * n
             ok = [False] * n
-            # Per-batch memo: a doc (esp. a star pivot) appears in many
-            # pairs; normalize + shingle it once. Range partitioning on
-            # (src, dst) below gives same-src runs, so hit rates are high.
-            texts: dict[int, str] = {}
-            shingle_sets: dict[int, "np.ndarray"] = {}
-            level_hashes: dict[tuple[int, int], "np.ndarray"] = {}
-            hashers: dict[int, "K.RunHasher"] = {}
-
-            def text_of(doc_id: int, raw: str) -> str:
-                t = texts.get(doc_id)
-                if t is None:
-                    t = K.normalize_text(raw) if norm else raw
-                    texts[doc_id] = t
-                return t
-
-            def hasher_of(doc_id: int, text: str) -> "K.RunHasher":
-                # memoized rolling-hash state: encode + prefix/inverse-power
-                # setup once per doc; every window length afterwards (level
-                # grid, pair thresholds, binary-search midpoints) is ~3
-                # vector ops instead of a fresh O(n) setup
-                h = hashers.get(doc_id)
-                if h is None:
-                    h = K.RunHasher(text)
-                    hashers[doc_id] = h
-                return h
-
-            def shingles_of(doc_id: int, text: str) -> "np.ndarray":
-                # LAZY: the k-shingle pass costs O(k*n); ~97% of candidate
-                # pairs sit below the floor gate and never need Jaccard, so
-                # shingling only happens for plausible accepts
-                s = shingle_sets.get(doc_id)
-                if s is None:
-                    s = K.char_shingle_hashes(text, k)
-                    shingle_sets[doc_id] = s
-                return s
-
-            def levelh(doc_id: int, text: str, lvl: int) -> "np.ndarray":
-                key = (doc_id, lvl)
-                h = level_hashes.get(key)
-                if h is None:
-                    h = np.sort(hasher_of(doc_id, text).hashes(lvl))
-                    level_hashes[key] = h
-                return h
-
-            def exact_jaccard(sa, sb) -> float:
-                if sa.size == 0 and sb.size == 0:
-                    return 1.0
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                return inter / float(sa.size + sb.size - inter)
-
             src_ids = pdf["src"].to_numpy()
             dst_ids = pdf["dst"].to_numpy()
+            raw_src = pdf["content_src"].to_numpy()
+            raw_dst = pdf["content_dst"].to_numpy()
             est = (
                 pdf["est_jaccard"].to_numpy()
                 if "est_jaccard" in pdf.columns
                 else np.full(n, 1.0)
             )
             for i in range(n):
-                ca = text_of(src_ids[i], pdf["content_src"].iat[i])
-                cb = text_of(dst_ids[i], pdf["content_dst"].iat[i])
+                ca = text_of(src_ids[i], raw_src[i])
+                cb = text_of(dst_ids[i], raw_dst[i])
                 if est[i] >= floor_gate:
                     j = exact_jaccard(
                         shingles_of(src_ids[i], ca), shingles_of(dst_ids[i], cb)

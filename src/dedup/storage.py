@@ -190,6 +190,23 @@ class TableStore:
         work_dir)."""
         return self._commit_pandas(pdf, name, "append")
 
+    def commit_pandas_replace(
+        self, pdf, name: str, expected: dict[str, str | None]
+    ) -> str:
+        """Snapshot-replace a pandas control table under the commit_many
+        CAS `expected` guard — for read-modify-write folds (ADVICE r5: an
+        unguarded write_pandas can drop a segment appended by a concurrent
+        writer between the read and the replace)."""
+        tdir = self._table_dir(name)
+        tdir.mkdir(parents=True, exist_ok=True)
+        seg = f"seg-{int(time.time() * 1000)}-{uuid.uuid4().hex[:8]}"
+        (tdir / seg).mkdir()
+        pdf.to_parquet(tdir / seg / "part-0.parquet", index=False)
+        self.commit_many(
+            {name: TableUpdate("replace", [seg])}, expected=expected
+        )
+        return self.current_snapshot(name)
+
     def _commit_pandas(self, pdf, name: str, mode: str) -> str:
         tdir = self._table_dir(name)
         tdir.mkdir(parents=True, exist_ok=True)

@@ -97,17 +97,56 @@ def test_zscore_grouped_map_is_salted_not_whole_language(spark):
     key = gm.split("]", 1)[0]  # 'FlatMapGroupsInPandas [<grouping keys>'
     assert "_g" in key and "lang" not in key
 
-def test_ivf_assignment_is_broadcast_and_map_side_combined(spark):
-    """The IVF docstring's scale claims, pinned at plan level: centroids
-    reach the N x K scoring through a BROADCAST nested-loop (never a
-    CartesianProduct shuffle), and the per-vector argmax assignment runs a
-    partial (map-side) max so the exchange moves one row per vector, never
-    the N x K score matrix; the cell probe is a hash-partitioned equi-join."""
+def test_ivf_assignment_is_one_arrow_pass_no_joins(spark):
+    """The IVF docstring's scale claims, pinned at plan level (r6): the
+    N x K assignment is ONE vectorized Arrow pass over the scan — no
+    crossJoin (not even a broadcast nested-loop), no groupBy(vec_id), no
+    re-join of the assignment onto the vectors; the only exchanges are the
+    per-cell cap window, the cell probe equi-join and the final per-query
+    ranking window."""
     from dedup.ops.similarity import embedding_ann_ivf
 
     plan = _plan(embedding_ann_ivf(spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" in plan
-    assert "partial_max" in plan
-    assert "hashpartitioning(vec_id" in plan
-    assert "SortMergeJoin" in plan or "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan            # the assignment pass
+    assert "hashpartitioning(vec_id" not in plan  # no assignment re-join
+    assert "hashpartitioning(cell" in plan  # per-cell cap + probe join
+    assert "hashpartitioning(q_id" in plan  # final ranking window
+
+
+def test_topk_cosine_emits_batch_local_topk_not_pair_stream(spark):
+    """r6 plan pin for the brute-force baseline: the N/50 x N scoring runs
+    inside ONE MapInPandas over the index scan (query matrix broadcast as a
+    numpy array), so the plan has no crossJoin of any kind and the only
+    exchange is the final per-query ranking window."""
+    from dedup.ops.similarity import embedding_topk_cosine
+
+    plan = _plan(embedding_topk_cosine(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "MapInPandas" in plan
+    assert "hashpartitioning(q_id" in plan
+
+
+def test_span_crossdoc_flag_has_no_per_h_sort(spark):
+    """VERDICT r5 #4 done-criterion: doc_dup_span_stats flags cross-doc
+    hashes via hash aggregation + a same-partition shuffled-hash join, not
+    count() OVER (PARTITION BY h) — the plan must contain no Sort at all
+    (the islands windows of the coverage query are doc-local and keep
+    theirs) and no sort-merge join, and the h-join must add no exchange
+    beyond the shared repartition('h'). (The two isomorphic exchange
+    subtrees dedupe at runtime via AQE stage reuse — not visible in the
+    pre-execution plan string; single-pass cost verified by timing in
+    OPTIMIZATION_r06.md.)"""
+    from dedup.ops.spans import doc_dup_span_stats
+
+    plan = _plan(doc_dup_span_stats(spark, "/root/testdata/sf0.001"))
+    assert "Sort " not in plan and "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" in plan
+    # exchanges: 2x the shared repartition('h') subtree + the final
+    # groupBy(doc_id) — nothing keyed on h beyond the repartition itself
+    assert plan.count("Exchange hashpartitioning(h") == 2
+    assert all("ENSURE_REQUIREMENTS" not in ln
+               for ln in plan.splitlines()
+               if "Exchange hashpartitioning(h" in ln)
