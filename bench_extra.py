@@ -61,6 +61,15 @@ def run_queries(sf_dir: str, cpus: str, names: list[str], trials: int,
     # untimed warmup (same rationale as bench.py)
     warm_fn, _ = q["q1_pricing_summary"]
     _force(warm_fn(spark, sf_dir))
+    for _ in range(trials):
+        for name in names:
+            fn, _sql = q[name]
+            spark.sparkContext.setJobDescription(f"bench_extra: {name}")
+            w = _force(fn(spark, sf_dir))
+            timings[name] = min(timings.get(name, w), w)
+    # plan capture AFTER the timed loop: constructing a query for explain
+    # can itself run eager sub-jobs and persist() intermediates, which
+    # would prime caches for the timed runs (observed: neardup read 0.18 s)
     for name in names:
         fn, _sql = q[name]
         if plans_dir:
@@ -70,12 +79,6 @@ def run_queries(sf_dir: str, cpus: str, names: list[str], trials: int,
             out.write_text(df._jdf.queryExecution().explainString(
                 spark._jvm.org.apache.spark.sql.execution.ExplainMode
                 .fromString("formatted")))
-    for _ in range(trials):
-        for name in names:
-            fn, _sql = q[name]
-            spark.sparkContext.setJobDescription(f"bench_extra: {name}")
-            w = _force(fn(spark, sf_dir))
-            timings[name] = min(timings.get(name, w), w)
     spark.stop()
     return timings
 

@@ -173,6 +173,54 @@ def run_hashes(text: str, L: int) -> np.ndarray:
     return mix64(h)
 
 
+def run_hashes_batch(
+    texts: "list[str]", L: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Rolling window hashes for MANY texts in ONE vectorized pass.
+
+    Returns (h, counts): `h` is the concatenation of run_hashes(t, L) for
+    every t (texts shorter than L contribute 0 windows), `counts[i]` the
+    window count of texts[i]. BIT-IDENTICAL to per-text run_hashes: all
+    arithmetic is exact uint64 modular (wraparound), and the global-offset
+    powers cancel — (prefix[S+L] - prefix[S]) * R^-S over the concatenated
+    code stream equals sum code_j * R^(j-s) over the text's own positions,
+    the same canonical value mod 2^64 the per-text form computes (pinned by
+    test_kernels). Replaces a per-doc O(1)-but-allocation-heavy setup
+    (encode + two cumprods + cumsum per doc, ~60 us/doc) with one setup per
+    batch — the span channel's sampled emit was dominated by it (r6,
+    guide §4.2/§4.5).
+    """
+    global _FNV_INV
+    if _FNV_INV is None:
+        _FNV_INV = _inv64(_FNV_PRIME)
+    lens = np.array([len(t) for t in texts], dtype=np.int64)
+    counts = np.maximum(lens - L + 1, 0)
+    if L <= 0 or len(texts) == 0 or counts.sum() == 0:
+        return np.empty(0, dtype=np.uint64), counts
+    codes = np.frombuffer(
+        "".join(texts).encode("utf-32-le"), dtype=np.uint32
+    )
+    n = codes.size
+    with _wrap:
+        codes = codes.astype(np.uint64)
+        pw = np.ones(n, dtype=np.uint64)
+        ipw = np.ones(n, dtype=np.uint64)
+        if n > 1:
+            pw[1:] = np.cumprod(np.full(n - 1, _FNV_PRIME, dtype=np.uint64))
+            ipw[1:] = np.cumprod(np.full(n - 1, _FNV_INV, dtype=np.uint64))
+        prefix = np.zeros(n + 1, dtype=np.uint64)
+        np.cumsum(codes * pw, dtype=np.uint64, out=prefix[1:])
+        # valid global window starts: for each text, offset .. offset+m-1
+        offsets = np.concatenate(([0], np.cumsum(lens)))[:-1]
+        total = int(counts.sum())
+        # S = global start positions of every window, all texts at once
+        S = (np.arange(total, dtype=np.int64)
+             - np.repeat(np.concatenate(([0], np.cumsum(counts)))[:-1], counts)
+             + np.repeat(offsets, counts))
+        h = (prefix[S + L] - prefix[S]) * ipw[S]
+    return mix64(h), counts
+
+
 class RunHasher:
     """Memoized per-document state for `run_hashes`: the L-INDEPENDENT work
     (utf-32 encode, power/inverse-power cumprods, prefix sums — three O(n)

@@ -40,11 +40,9 @@ def _docs_as_reps(spark: SparkSession, sf_dir: str) -> DataFrame:
 def exact_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-doc exact cluster: min doc_id over identical sha256(text)."""
     docs = load_table(spark, sf_dir, "documents")
-    # r6: single-row-group input scans as ONE partition; sha256 over every
-    # text is CPU-bound — spread when under-split (no-op at scale)
-    docs = SM.ensure_parallelism(
-        docs, int(spark.conf.get("spark.sql.shuffle.partitions"))
-    )
+    # r6 note: an ensure_parallelism round-robin was tried here and REVERTED
+    # — measured 0.70 s -> 1.04 s at sf1.0: JVM sha256 is cheap enough that
+    # shuffling the text costs more than the serialized hash saves.
     hashed = docs.select("doc_id", F.sha2(F.col("text"), 256).alias("sha"))
     owners = hashed.groupBy("sha").agg(F.min("doc_id").alias("cluster_id"))
     return (

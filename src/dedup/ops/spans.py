@@ -88,36 +88,35 @@ def sampled_span_hashes(docs: DataFrame, L: int = SPAN_L, p: int = SPAN_P,
     assert p & (p - 1) == 0, "p must be a power of two (h % p == low bits)"
 
     def _emit(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # r6: one concatenated rolling-hash pass per Arrow batch
+        # (kernels.run_hashes_batch — bit-identical by exact modular
+        # arithmetic) and vectorized selection, instead of per-doc numpy
+        # setup — the per-doc overhead dominated the emit (guide §4.2/§4.5)
         for pdf in batches:
-            cols: dict[str, list[np.ndarray]] = {
-                "doc_id": [], "pos": [], "n": [], "h": []
-            }
-            for doc_id, text in zip(pdf["doc_id"].values, pdf["text"].values):
-                t = K.normalize_text(text or "")
-                if len(t) < L:
-                    continue
-                h = K.run_hashes(t, L)
-                keep = (h & mask) == np.uint64(0)
-                sel = h[keep]
-                if sel.size:
-                    cols["doc_id"].append(
-                        np.full(sel.size, doc_id, dtype=np.int64)
-                    )
-                    cols["h"].append(sel.view(np.int64))
-                    if with_pos:
-                        cols["pos"].append(
-                            np.nonzero(keep)[0].astype(np.int64)
-                        )
-                        cols["n"].append(
-                            np.full(sel.size, len(t), dtype=np.int64)
-                        )
-            if cols["doc_id"]:
-                out = {"doc_id": np.concatenate(cols["doc_id"])}
-                if with_pos:
-                    out["pos"] = np.concatenate(cols["pos"])
-                    out["n"] = np.concatenate(cols["n"])
-                out["h"] = np.concatenate(cols["h"])
-                yield pd.DataFrame(out)
+            ids = pdf["doc_id"].to_numpy(dtype=np.int64)
+            ts = [K.normalize_text(t or "") for t in pdf["text"].values]
+            h, counts = K.run_hashes_batch(ts, L)
+            if h.size == 0:
+                continue
+            doc_rep = np.repeat(ids, counts)
+            keep = (h & mask) == np.uint64(0)
+            if not keep.any():
+                continue
+            out = {"doc_id": doc_rep[keep]}
+            if with_pos:
+                # window start within its own doc: global window index
+                # minus the doc's first window index
+                total = int(counts.sum())
+                win_off = np.concatenate(([0], np.cumsum(counts)))[:-1]
+                pos = (np.arange(total, dtype=np.int64)
+                       - np.repeat(win_off, counts))
+                nlen = np.repeat(
+                    np.array([len(t) for t in ts], dtype=np.int64), counts
+                )
+                out["pos"] = pos[keep]
+                out["n"] = nlen[keep]
+            out["h"] = h[keep].view(np.int64)
+            yield pd.DataFrame(out)
 
     schema = ("doc_id long, pos long, n long, h long" if with_pos
               else "doc_id long, h long")

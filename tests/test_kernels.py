@@ -462,3 +462,25 @@ def test_longest_common_run_from_hasher_path_identical():
             a, b, lo, hasher_a=K.RunHasher(a), hasher_b=K.RunHasher(b)
         )
         assert got == expect
+
+
+def test_run_hashes_batch_bit_identical_to_per_text():
+    import numpy as np
+
+    from dedup import kernels as K
+
+    rng = np.random.default_rng(5)
+    texts = []
+    for i in range(50):
+        n = int(rng.integers(0, 300))
+        texts.append("".join(chr(int(c)) for c in rng.integers(32, 0x2FFF, n)))
+    texts += ["", "x", "abc" * 100]
+    for L in (1, 7, 64, 120):
+        h, counts = K.run_hashes_batch(texts, L)
+        off = 0
+        for t, c in zip(texts, counts):
+            ref = K.run_hashes(t, L)
+            assert ref.size == c
+            assert np.array_equal(h[off:off + int(c)], ref)
+            off += int(c)
+        assert off == h.size
